@@ -1,0 +1,197 @@
+"""Configuration system.
+
+One dataclass shared by every entry point, replacing both the reference's
+argparse namespace (las/arguments.py:12-232) and its *shadow config layer* of
+constants hardcoded across files (bucket tables tfrecord_data_loader.py:75-83,
+MAXLEN create_tfrecord.py:28, shard size create_tfrecord.py:29, sample
+threshold preprocess.py:17, steps/epoch train.py:107-110).
+
+All public flag names and defaults from the reference are preserved so that
+command lines written for the reference keep working.  TPU-specific knobs
+(mesh axes, dtype, buckets) are additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def str2bool(v) -> bool:
+    """Boolean flag parser (reference: las/arguments.py:4-10)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+@dataclass
+class Config:
+    """All hyper-parameters of the framework.
+
+    Field names mirror las/arguments.py so the CLI contract is identical.
+    """
+
+    # ---- feature arguments (reference: las/arguments.py:17-56) ----
+    dataset: str = "LibriSpeech"
+    unit: str = "subword"                 # 'char' | 'subword'
+    sample_rate: int = 16000
+    feat_dim: int = 39                    # num_cepstral (mfcc) / num_filters (fbank)
+    frame_length: int = 25                # ms
+    frame_step: int = 10                  # ms
+    feat_type: str = "mfcc"               # 'mfcc' | 'fbank'
+    cmvn: bool = True
+    augmentation: bool = False
+    split: str = "dev"
+
+    # ---- training arguments (reference: las/arguments.py:58-107) ----
+    verbose: int = 0
+    batch_size: int = 32
+    lr: float = 1e-3
+    grad_clip: float = 5.0
+    dropout_rate: float = 0.5
+    epoch: int = 10
+    restore_epoch: int = -1
+    label_smoothing: bool = True
+    apply_bn: bool = False
+    add_vn: bool = False
+    ctc: bool = False
+    ctc_weight: float = 0.2
+
+    # ---- Listener (reference: las/arguments.py:109-124) ----
+    enc_type: str = "cnn"                 # 'cnn' | 'pblstm'
+    enc_units: int = 64
+    num_enc_channels: int = 32
+    num_enc_layers: int = 2
+
+    # ---- Attention (reference: las/arguments.py:126-141) ----
+    attention_size: int = 128
+    loc_kernel_size: int = 201
+    loc_num_channels: int = 10
+    mode: str = "add"                     # 'add' | 'loc'
+
+    # ---- Speller / scheduled sampling (reference: las/arguments.py:143-170) ----
+    dec_units: int = 128
+    num_dec_layers: int = 2
+    embedding_size: int = 128
+    scheduled_sampling: bool = True
+    warmup_step: int = 100000
+    max_step: int = 500000
+    min_rate: float = 0.4
+
+    # ---- beam search (reference: las/arguments.py:172-187) ----
+    convert_rate: float = 0.166
+    beam_size: int = 10
+    apply_lm: bool = False
+    lm_weight: float = 0.5
+
+    # ---- directories (reference: las/arguments.py:189-228) ----
+    train_100hr_corpus_dir: str = "data/LibriSpeech/LibriSpeech_train/train-clean-100"
+    train_360hr_corpus_dir: str = "data/LibriSpeech/LibriSpeech_train/train-clean-360"
+    train_500hr_corpus_dir: str = "data/LibriSpeech/LibriSpeech_train/train-other-500"
+    dev_data_dir: str = "data/LibriSpeech-100/LibriSpeech_dev/dev-clean"
+    test_data_dir: str = "data/LibriSpeech-100/LibriSpeech_test/test-clean"
+    feat_dir: str = "data/LibriSpeech/features"
+    subword_dir: str = "subword/"
+    log_dir: str = "log/"
+    save_dir: str = "model/las/"
+    summary_dir: str = "summary/"
+
+    # ---- promoted shadow constants ----
+    # reference: tfrecord_data_loader.py:75 (train), :80 (eval)
+    bucket_boundaries_train: Tuple[int, ...] = (639, 1062, 1275, 1377, 1449, 1506, 1563, 1710)
+    bucket_boundaries_eval: Tuple[int, ...] = (639, 1062, 1275, 1377, 1449, 1506, 1563, 3600)
+    # reference: tfrecord_data_loader.py:83
+    bucket_batch_sizes: Tuple[int, ...] = (96, 48, 48, 48, 48, 48, 48, 48, 48)
+    # reference: tfrecord_data_loader.py:76, :81-82
+    max_tokenlen_train: int = 219
+    max_tokenlen_eval: int = 227
+    # reference: create_tfrecord.py:28-29
+    maxlen: int = 1710
+    records_per_shard: int = 5000
+    # reference: preprocess.py:17
+    sample_threshold: int = 30000
+    # reference: train.py:107-108
+    num_train_batches: int = 2619
+    # reference: test.py:102
+    num_eval_batches: int = 45
+    # data pipeline locations (reference hardcodes globs, train.py:46 / test.py:48)
+    shard_dir: str = "data/shards"
+    shard_glob: str = ""                  # override shard file glob; empty = derived
+    # LM fusion state dims come from the LM manifest, not hardcoded
+    # (reference hardcodes 512/4 at beam_search.py:112)
+    lm_dir: str = "lang/output/"
+
+    # ---- TPU-native knobs (no reference equivalent) ----
+    dtype: str = "float32"                # compute dtype: 'float32' | 'bfloat16'
+    num_partitions: int = 1               # model-parallel axis size (mesh 'model')
+    data_axis: str = "data"               # mesh axis name for batch sharding
+    model_axis: str = "model"             # mesh axis name for model sharding
+    use_pallas: bool = True               # use Pallas kernels where profitable
+    fft_length: int = 512                 # speechpy fixes fft_length=512
+    num_mel_filters: int = 40             # speechpy mfcc default num_filters=40
+    max_audio_seconds: float = 36.0       # frontend static padding bound
+    prefetch_depth: int = 2               # host->device double buffering
+    seed: int = 0
+    vocab_size: int = 0                   # filled from tokenizer at runtime
+    steps_per_epoch: int = 0              # 0 = derive from dataset size
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=False)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        fields = {f.name for f in dataclasses.fields(Config)}
+        d = {k: (tuple(v) if isinstance(v, list) else v) for k, v in d.items() if k in fields}
+        return Config(**d)
+
+    @property
+    def frames_max(self) -> int:
+        """Static frame-count bound for the frontend."""
+        samples = int(self.max_audio_seconds * self.sample_rate)
+        flen = int(round(self.sample_rate * self.frame_length / 1000.0))
+        fstep = int(round(self.sample_rate * self.frame_step / 1000.0))
+        return max(0, (samples - flen) // fstep)
+
+
+_SHORT_FLAGS = {"verbose": "-vb", "batch_size": "-bs"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="A TPU-native (JAX/XLA/Pallas/pjit) implementation of "
+                    "end-to-end speech recognition: Listen, Attend and Spell (LAS)")
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        flags = [name]
+        if f.name in _SHORT_FLAGS:
+            flags.append(_SHORT_FLAGS[f.name])
+        default = f.default if f.default is not dataclasses.MISSING else f.default_factory()
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            parser.add_argument(*flags, type=str2bool, default=default, help="")
+        elif isinstance(default, tuple):
+            parser.add_argument(*flags, type=lambda s: tuple(int(x) for x in s.split(",")),
+                                default=default, help="comma separated ints")
+        elif isinstance(default, int):
+            parser.add_argument(*flags, type=int, default=default, help="")
+        elif isinstance(default, float):
+            parser.add_argument(*flags, type=float, default=default, help="")
+        else:
+            parser.add_argument(*flags, type=type(default), default=default, help="")
+    return parser
+
+
+def parse_args(argv=None) -> Config:
+    """Parse CLI flags into a Config (reference: las/arguments.py:12-232)."""
+    ns = build_parser().parse_args(argv)
+    return Config(**vars(ns))
