@@ -1,0 +1,193 @@
+"""On-device (JAX/TPU) fused acoustic frontend.
+
+Replaces the reference's offline CPU speechpy loop (preprocess.py:50-91)
+with a single jitted, batched program: framing -> spectrum -> mel -> log/DCT
+-> masked per-utterance CMVN -> feature-axis delta stacking, producing
+(B, T, D, 3) float32 like the reference pipeline.
+
+TPU-first design notes:
+- All heavy stages are matmuls that ride the MXU: the real-input DFT is two
+  (frames @ cos/sin) products, the mel projection and the DCT are constant
+  matrices baked at trace time.  (XLA's native FFT is also available via
+  use_fft=True; the matmul path wins on TPU for the 400->257 size.)
+- Static shapes: audio arrives padded to a fixed sample count; frame count
+  and masks are computed from lengths with lax ops, so one compilation
+  serves every utterance length.
+- Numerical semantics (framing offsets, 1/512 power scaling, the
+  (coefficients+1) filterbank quirk, c0 = log energy, CMVN eps 2^-30,
+  feature-axis derivative) match ops/frontend_host.py bit-for-bit modulo
+  float32 vs float64 rounding; tests/test_frontend.py pins the tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import frontend_host as host
+
+EPS_CMVN = 2.0 ** -30
+EPS_ZERO = float(np.finfo(np.float64).eps)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(flen: int, fft_length: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT as two dense matrices: (flen, fft//2+1) cos and -sin.
+
+    frames @ C == Re(rfft(frames, n)), frames @ S == Im(rfft(frames, n)).
+    """
+    n = np.arange(flen)[:, None]
+    k = np.arange(fft_length // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / fft_length
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_matrix(num_filters: int, fft_length: int, sample_rate: int) -> np.ndarray:
+    fb = host.mel_filterbank(num_filters, fft_length // 2 + 1, sample_rate,
+                             0, sample_rate / 2)
+    return fb.T.astype(np.float32)  # (coefficients, num_filters)
+
+
+@functools.lru_cache(maxsize=8)
+def _dct_matrix(num_inputs: int, num_outputs: int) -> np.ndarray:
+    return host.dct_matrix(num_inputs, num_outputs).astype(np.float32)
+
+
+def frame_signal(audio: jnp.ndarray, flen: int, fstride: int,
+                 frames_max: int) -> jnp.ndarray:
+    """(B, S) -> (B, frames_max, flen) by strided gather (static shapes)."""
+    idx = (np.arange(frames_max) * fstride)[:, None] + np.arange(flen)[None, :]
+    idx = np.minimum(idx, audio.shape[-1] - 1)  # safe gather for padded tail
+    return audio[:, idx]
+
+
+def _power_spectrum(frames: jnp.ndarray, fft_length: int,
+                    use_fft: bool) -> jnp.ndarray:
+    if use_fft:
+        spec = jnp.fft.rfft(frames, n=fft_length, axis=-1)
+        return (spec.real ** 2 + spec.imag ** 2) * (1.0 / fft_length)
+    C, S = _dft_matrices(frames.shape[-1], fft_length)
+    re = jnp.einsum("btf,fk->btk", frames, jnp.asarray(C),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.einsum("btf,fk->btk", frames, jnp.asarray(S),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return (re * re + im * im) * (1.0 / fft_length)
+
+
+def _zero_handling(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x == 0, EPS_ZERO, x)
+
+
+def masked_cmvn(feat: jnp.ndarray, featlen: jnp.ndarray) -> jnp.ndarray:
+    """Per-utterance CMVN with variance normalization over valid frames only.
+
+    Matches speechpy.processing.cmvn(vec, True) (preprocess.py:85) on the
+    unpadded utterance: population std, denominator (std + 2^-30).
+    """
+    T = feat.shape[1]
+    mask = (jnp.arange(T)[None, :] < featlen[:, None]).astype(feat.dtype)  # (B,T)
+    n = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)[..., None]  # (B,1,1)
+    m3 = mask[..., None]
+    mean = jnp.sum(feat * m3, axis=1, keepdims=True) / n
+    centered = (feat - mean) * m3
+    var = jnp.sum(centered * centered, axis=1, keepdims=True) / n
+    std = jnp.sqrt(var)
+    return centered / (std + EPS_CMVN)
+
+
+def feature_axis_deltas(feat: jnp.ndarray) -> jnp.ndarray:
+    """speechpy derivative quirk on (B, T, D): edge-pad feature axis, then
+    dif = 1*x[j+1] - x[j-1] + 2*x[j+2] - x[j-2], / 10."""
+    p = jnp.pad(feat, ((0, 0), (0, 0), (2, 2)), mode="edge")
+    D = feat.shape[-1]
+    dif = (1.0 * p[..., 3:3 + D] - p[..., 1:1 + D]
+           + 2.0 * p[..., 4:4 + D] - p[..., 0:D])
+    return dif / 10.0
+
+
+def stack_derivatives(feat: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, D) -> (B, T, D, 3) static + d + dd."""
+    d1 = feature_axis_deltas(feat)
+    d2 = feature_axis_deltas(d1)
+    return jnp.stack([feat, d1, d2], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "frame_length_ms", "frame_step_ms",
+                     "feat_dim", "feat_type", "apply_cmvn", "fft_length",
+                     "num_mel_filters", "frames_max", "use_fft"))
+def extract_features(audio: jnp.ndarray, audiolen: jnp.ndarray, *,
+                     sample_rate: int = 16000, frame_length_ms: int = 25,
+                     frame_step_ms: int = 10, feat_dim: int = 13,
+                     feat_type: str = "mfcc", apply_cmvn: bool = True,
+                     fft_length: int = 512, num_mel_filters: int = 40,
+                     frames_max: int = 0, use_fft: bool = False):
+    """Batched feature extraction.
+
+    Args:
+      audio:    (B, S) float32 padded waveforms.
+      audiolen: (B,) int32 valid sample counts.
+      frames_max: static output frame count; 0 = derive from S.
+
+    Returns:
+      feats:   (B, frames_max, feat_dim, 3) float32 (cmvn on), else
+               (B, frames_max, feat_dim) raw features.
+      featlen: (B,) int32 valid frame counts, floor((len-flen)/stride).
+    """
+    flen, fstride = host.frame_params(sample_rate, frame_length_ms, frame_step_ms)
+    S = audio.shape[-1]
+    if frames_max <= 0:
+        frames_max = max(host.num_frames(S, flen, fstride), 1)
+    featlen = jnp.maximum((audiolen - flen) // fstride, 0).astype(jnp.int32)
+    featlen = jnp.minimum(featlen, frames_max)
+
+    frames = frame_signal(audio.astype(jnp.float32), flen, fstride, frames_max)
+    ps = _power_spectrum(frames, fft_length, use_fft)            # (B,T,K)
+
+    if feat_type == "mfcc":
+        mel = jnp.einsum("btk,kf->btf", ps, jnp.asarray(
+            _mel_matrix(num_mel_filters, fft_length, sample_rate)),
+            preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        logmel = jnp.log(_zero_handling(mel))
+        feat = jnp.einsum("btf,fc->btc", logmel, jnp.asarray(
+            _dct_matrix(num_mel_filters, feat_dim)),
+            preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        energy = _zero_handling(jnp.sum(ps, axis=-1))
+        feat = feat.at[..., 0].set(jnp.log(energy))              # dc_elimination
+    elif feat_type == "fbank":
+        mel = jnp.einsum("btk,kf->btf", ps, jnp.asarray(
+            _mel_matrix(feat_dim, fft_length, sample_rate)),
+            preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        feat = _zero_handling(mel)
+    else:
+        raise ValueError(f"unknown feat_type: {feat_type}")
+
+    if apply_cmvn:
+        feat = masked_cmvn(feat, featlen)
+        feat = stack_derivatives(feat)
+        # zero out padded frames entirely
+        mask = (jnp.arange(frames_max)[None, :] < featlen[:, None])
+        feat = feat * mask[:, :, None, None].astype(feat.dtype)
+    return feat, featlen
+
+
+def extract_features_cfg(audio, audiolen, cfg, frames_max: int = 0):
+    """Config-driven wrapper."""
+    return extract_features(
+        audio, audiolen,
+        sample_rate=cfg.sample_rate, frame_length_ms=cfg.frame_length,
+        frame_step_ms=cfg.frame_step, feat_dim=cfg.feat_dim,
+        feat_type=cfg.feat_type, apply_cmvn=cfg.cmvn,
+        fft_length=cfg.fft_length, num_mel_filters=cfg.num_mel_filters,
+        frames_max=frames_max)
