@@ -31,7 +31,7 @@ def str2bool(v) -> bool:
     raise argparse.ArgumentTypeError("Boolean value expected.")
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     """All hyper-parameters of the framework.
 

@@ -1,0 +1,102 @@
+"""Attention mechanisms: additive (Bahdanau) and location-aware (Chorowski).
+
+Reference semantics (las/layers.py:165-311):
+- masked softmax: energies at padded positions replaced with -1e8
+- context = sum_t alpha_t * h_t
+- additive: energy = u . tanh(h W_h + s W_s), u ~ Uniform(-1, 1)
+- location-aware: adds W_f f where f = conv1d(prev_align, channels=
+  loc_num_channels, kernel=loc_kernel_size, SAME, with bias)
+
+TPU notes: the score is computed for the whole (B, T) at once — a single
+(B*T, H) @ (H, A) matmul; the location conv is a 1-D conv over T with 1
+input channel, expressed as conv_general_dilated so XLA can fuse it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+
+NEG_INF = -1e8
+
+
+def masked_attend(hidden: jnp.ndarray, energy: jnp.ndarray,
+                  seqlen: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply length mask, softmax, and reduce context
+    (reference: las/layers.py:199-213)."""
+    T = hidden.shape[1]
+    mask = layers.length_mask(seqlen, T, energy.dtype)
+    energy = jnp.where(mask == 0, NEG_INF, energy)
+    alphas = jax.nn.softmax(energy, axis=-1)
+    context = jnp.sum(hidden * alphas[..., None], axis=1)
+    return context, alphas
+
+
+def additive_init(key, h_dim: int, s_dim: int, att_size: int) -> Dict:
+    kh, ks, ku = jax.random.split(key, 3)
+    return {
+        "w_h": layers.dense_init(kh, h_dim, att_size, use_bias=False),
+        "w_s": layers.dense_init(ks, s_dim, att_size, use_bias=False),
+        "u": jax.random.uniform(ku, (att_size,), jnp.float32, -1.0, 1.0),
+    }
+
+
+def additive_apply(p: Dict, hidden, state, align, seqlen):
+    """align unused, kept for interface parity (las/layers.py:234-241)."""
+    v = jnp.tanh(layers.dense_apply(p["w_h"], hidden)
+                 + layers.dense_apply(p["w_s"], state)[:, None, :])
+    energy = jnp.einsum("bta,a->bt", v, p["u"])
+    return masked_attend(hidden, energy, seqlen)
+
+
+def location_init(key, h_dim: int, s_dim: int, att_size: int,
+                  kernel_size: int = 201, num_channels: int = 10) -> Dict:
+    kh, ks, kf, ku, kc = jax.random.split(key, 5)
+    limit = (6.0 / (kernel_size * 1 + kernel_size * num_channels)) ** 0.5
+    conv_w = jax.random.uniform(kc, (kernel_size, 1, num_channels),
+                                jnp.float32, -limit, limit)
+    return {
+        "w_h": layers.dense_init(kh, h_dim, att_size, use_bias=False),
+        "w_s": layers.dense_init(ks, s_dim, att_size, use_bias=False),
+        "w_f": layers.dense_init(kf, num_channels, att_size, use_bias=False),
+        "u": jax.random.uniform(ku, (att_size,), jnp.float32, -1.0, 1.0),
+        "conv_w": conv_w,
+        "conv_b": jnp.zeros((num_channels,)),
+    }
+
+
+def location_apply(p: Dict, hidden, state, align, seqlen):
+    """Location-aware attention (las/layers.py:281-309): eq (8)-(9) of
+    Chorowski et al. with f from a SAME 1-D conv over the previous
+    alignment."""
+    # conv1d over T: (B, T, 1) * (K, 1, C) -> (B, T, C)
+    f = jax.lax.conv_general_dilated(
+        align[..., None], p["conv_w"], window_strides=(1,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC")) + p["conv_b"]
+    v = jnp.tanh(layers.dense_apply(p["w_h"], hidden)
+                 + layers.dense_apply(p["w_s"], state)[:, None, :]
+                 + layers.dense_apply(p["w_f"], f))
+    energy = jnp.einsum("bta,a->bt", v, p["u"])
+    return masked_attend(hidden, energy, seqlen)
+
+
+def attention_init(key, mode: str, h_dim: int, s_dim: int, att_size: int,
+                   kernel_size: int, num_channels: int) -> Dict:
+    """Dispatch like the reference Attention facade (las/las.py:39-54)."""
+    if mode == "add":
+        return additive_init(key, h_dim, s_dim, att_size)
+    if mode == "loc":
+        return location_init(key, h_dim, s_dim, att_size, kernel_size, num_channels)
+    raise NotImplementedError(f"attention mode {mode}")
+
+
+def attention_apply(p: Dict, mode: str, hidden, state, align, seqlen):
+    if mode == "add":
+        return additive_apply(p, hidden, state, align, seqlen)
+    if mode == "loc":
+        return location_apply(p, hidden, state, align, seqlen)
+    raise NotImplementedError(f"attention mode {mode}")

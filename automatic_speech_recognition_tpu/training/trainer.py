@@ -1,0 +1,82 @@
+"""Training step: Adam + global-norm clipping + scheduled LR, as one jitted
+(and mesh-shardable) program.
+
+Reference semantics (las/las.py:265-283): AdamOptimizer on the decayed LR
+(start 50k, half-life 100k, floor 0.01*lr), clip_by_global_norm(grad_clip),
+global step incremented per application.  BN moving stats update alongside
+(the reference's UPDATE_OPS control dependency).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models import las
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    schedule = lambda step: las.scheduled_learning_rate(cfg, step)
+    tx = [optax.clip_by_global_norm(cfg.grad_clip)] if cfg.grad_clip > 0 else []
+    tx.append(optax.adam(schedule))
+    return optax.chain(*tx)
+
+
+def create_train_state(key, cfg: Config) -> TrainState:
+    params, bn_state = las.las_init(key, cfg)
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(params, bn_state, opt_state,
+                      jnp.zeros((), jnp.int32), jax.random.PRNGKey(cfg.seed))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dec_steps"),
+                   donate_argnames=("ts",))
+def train_step(ts: TrainState, batch, cfg: Config, dec_steps: int):
+    """One optimization step.  batch = (audio, audiolen, y, tokenlen).
+
+    Returns (new_state, metrics) where metrics carries loss / lr / tf_rate
+    and a sample of logits+alphas for logging (reference logs these,
+    train.py:114-126).
+    """
+    rng, step_rng = jax.random.split(ts.rng)
+    grad_fn = jax.value_and_grad(las.total_loss, has_aux=True)
+    (loss, (logits, alphas, new_bn)), grads = grad_fn(
+        ts.params, ts.bn_state, batch, cfg, dec_steps, step_rng, ts.step)
+    tx = make_optimizer(cfg)
+    updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+    new_params = optax.apply_updates(ts.params, updates)
+    new_ts = TrainState(new_params, new_bn, new_opt, ts.step + 1, rng)
+    metrics = {
+        "loss": loss,
+        "lr": las.scheduled_learning_rate(cfg, ts.step),
+        "tf_rate": (las.scheduled_sampling_rate(cfg, ts.step)
+                    if cfg.scheduled_sampling else jnp.array(1.0)),
+        "grad_norm": optax.global_norm(grads),
+        "sample_logits": logits[0],
+        "sample_alphas": alphas[0],
+    }
+    return new_ts, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dec_steps"))
+def eval_forward(params, bn_state, audio, audiolen, cfg: Config,
+                 dec_steps: int):
+    """Greedy inference forward (reference: las/las.py:306-318).
+    Returns (logits, y_hat)."""
+    logits, _, alphas, enc_len, _ = las.las_forward(
+        params, bn_state, audio, audiolen, cfg, dec_steps,
+        teacher=None, is_training=False)
+    return logits, jnp.argmax(logits, -1)

@@ -1,17 +1,25 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Multi-chip TPU hardware is not available in CI; the standard JAX stand-in is
-a host-platform device count override (SURVEY.md section 4).  Must be set
-before jax initializes.
+Multi-chip TPU hardware is not available in CI; the standard JAX stand-in
+is a host-platform device-count override (SURVEY.md section 4).
+
+Note: some installed pytest plugins import jax before this conftest runs,
+so setting JAX_PLATFORMS via os.environ is too late — the value is baked
+into jax.config at import.  jax.config.update still works because no
+backend has been initialized yet.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell presets 'axon' (TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -20,3 +28,8 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", jax.devices()
