@@ -1,0 +1,150 @@
+"""Bucketed, static-shape batch pipeline with device prefetch.
+
+Replaces the reference's tf.data graph (tfrecord_data_loader.py:54-109):
+file-list shuffle -> interleave -> parse -> bucket_by_sequence_length with
+hardcoded boundaries and batch sizes, pad_to_bucket_boundary, shuffle(64),
+infinite repeat (train) / single pass (eval).
+
+TPU-first rationale: every bucket boundary is a distinct STATIC shape, so
+jit compiles one program per bucket and never re-specializes; padding to
+the boundary makes batches reproducible shape keys.  A background thread
+keeps `prefetch_depth` batches in flight onto the device (or mesh) so the
+accelerator never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config
+from .shards import ShardReader
+
+
+class Batch(tuple):
+    """(audio (B,Tb,D,C), audiolen (B,), tokens (B,L), tokenlen (B,))"""
+
+
+def bucket_of(featlen: int, boundaries: Sequence[int]) -> Optional[int]:
+    """Index of the first boundary >= featlen; None if beyond the last."""
+    for i, b in enumerate(boundaries):
+        if featlen <= b:
+            return i
+    return None
+
+
+def _pad_batch(feats: List[np.ndarray], tokens: List[np.ndarray],
+               pad_frames: int, pad_tokens: int) -> Batch:
+    B = len(feats)
+    D, C = feats[0].shape[1], feats[0].shape[2]
+    audio = np.zeros((B, pad_frames, D, C), np.float32)
+    audiolen = np.zeros((B,), np.int32)
+    toks = np.zeros((B, pad_tokens), np.int32)
+    toklen = np.zeros((B,), np.int32)
+    for i, (f, t) in enumerate(zip(feats, tokens)):
+        T = min(len(f), pad_frames)
+        L = min(len(t), pad_tokens)
+        audio[i, :T] = f[:T]
+        audiolen[i] = T
+        toks[i, :L] = t[:L]
+        toklen[i] = L
+    return Batch((audio, audiolen, toks, toklen))
+
+
+class BucketedLoader:
+    """Iterate bucketed batches from ARSH shards.
+
+    Train: shards shuffled each epoch, records shuffled within shards,
+    repeats forever.  Eval: one deterministic pass, leftovers flushed as
+    partial batches (like tf.data's final smaller batches).
+    """
+
+    def __init__(self, shard_files: Sequence[str], cfg: Config,
+                 is_training: bool = True, seed: int = 0):
+        if not shard_files:
+            raise ValueError("no shard files given")
+        self.files = list(shard_files)
+        self.cfg = cfg
+        self.is_training = is_training
+        self.boundaries = (cfg.bucket_boundaries_train if is_training
+                           else cfg.bucket_boundaries_eval)
+        self.batch_sizes = cfg.bucket_batch_sizes
+        self.max_tokenlen = (cfg.max_tokenlen_train if is_training
+                             else cfg.max_tokenlen_eval)
+        self._rng = np.random.default_rng(seed)
+        self._readers = {f: ShardReader(f) for f in self.files}
+
+    @property
+    def num_records(self) -> int:
+        return sum(len(r) for r in self._readers.values())
+
+    def _record_stream(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        while True:
+            files = list(self.files)
+            if self.is_training:
+                self._rng.shuffle(files)
+            for fn in files:
+                r = self._readers[fn]
+                order = np.arange(len(r))
+                if self.is_training:
+                    self._rng.shuffle(order)
+                for i in order:
+                    yield r.record(int(i))
+            if not self.is_training:
+                return
+
+    def __iter__(self) -> Iterator[Batch]:
+        buckets: List[List] = [[] for _ in self.boundaries]
+        for feat, tok in self._record_stream():
+            b = bucket_of(feat.shape[0], self.boundaries)
+            if b is None:
+                continue  # drop beyond-last-boundary utts (TF raises; we drop)
+            buckets[b].append((feat, tok))
+            bs = self.batch_sizes[min(b, len(self.batch_sizes) - 1)]
+            if len(buckets[b]) >= bs:
+                feats, toks = zip(*buckets[b])
+                buckets[b] = []
+                yield _pad_batch(list(feats), list(toks),
+                                 self.boundaries[b], self.max_tokenlen)
+        # flush leftovers (eval path)
+        for b, items in enumerate(buckets):
+            if items:
+                feats, toks = zip(*items)
+                yield _pad_batch(list(feats), list(toks),
+                                 self.boundaries[b], self.max_tokenlen)
+
+
+class DevicePrefetcher:
+    """Background thread that stages host batches onto the device/mesh,
+    keeping `depth` batches in flight (double buffering)."""
+
+    def __init__(self, it, put_fn, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in it:
+                    self._q.put(put_fn(item))
+            except BaseException as e:  # propagate into consumer
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -1,0 +1,107 @@
+"""Data layer tests: WAV IO roundtrip, ARSH shard roundtrip, bucketing."""
+
+import numpy as np
+import pytest
+
+from automatic_speech_recognition_tpu.config import Config
+from automatic_speech_recognition_tpu.data import audio_io, shards
+from automatic_speech_recognition_tpu.data.pipeline import (
+    BucketedLoader, DevicePrefetcher, bucket_of)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    sig = np.clip(rng.standard_normal(16000) * 0.2, -1, 1)
+    p = str(tmp_path / "a.wav")
+    audio_io.write_wav(p, sig, 16000)
+    back, fs = audio_io.read_wav(p)
+    assert fs == 16000
+    assert back.dtype == np.float64
+    # write scales by 32767 (round), read divides by 32768
+    np.testing.assert_allclose(back, sig, atol=1.6 / 32768)
+
+
+def test_shard_roundtrip(tmp_path, rng):
+    feats = [rng.standard_normal((t, 5, 3)).astype(np.float32)
+             for t in (10, 20, 7)]
+    tokens = [np.arange(n, dtype=np.int32) + 1 for n in (4, 6, 2)]
+    p = str(tmp_path / "x.arsh")
+    shards.write_shard(p, feats, tokens)
+    r = shards.ShardReader(p)
+    assert len(r) == 3
+    for i in range(3):
+        f, t = r.record(i)
+        np.testing.assert_array_equal(f, feats[i])
+        np.testing.assert_array_equal(t, tokens[i])
+        assert r.featlen(i) == feats[i].shape[0]
+    assert shards.get_num_records([p]) == 3
+
+
+def test_create_shards_maxlen_and_split(tmp_path, rng):
+    feats = [rng.standard_normal((t, 4, 3)).astype(np.float32)
+             for t in [5, 100, 8, 12, 200, 9, 7, 11]]
+    tokens = [[1, 2]] * 8
+    paths = shards.create_shards(feats, tokens, str(tmp_path / "train"),
+                                 records_per_shard=3, maxlen=50, seed=0)
+    total = shards.get_num_records(paths)
+    assert total == 6  # two dropped at maxlen 50
+    assert len(paths) == 2
+
+
+def _make_shards(tmp_path, rng, n=40, seed=0):
+    feats = [rng.standard_normal((int(rng.integers(5, 60)), 4, 3)).astype(np.float32)
+             for _ in range(n)]
+    tokens = [np.asarray(rng.integers(1, 30, size=int(rng.integers(2, 10))),
+                         np.int32) for _ in range(n)]
+    return shards.create_shards(feats, tokens, str(tmp_path / "tr"),
+                                records_per_shard=20, seed=seed)
+
+
+def test_bucket_of():
+    assert bucket_of(5, (10, 20)) == 0
+    assert bucket_of(10, (10, 20)) == 0
+    assert bucket_of(11, (10, 20)) == 1
+    assert bucket_of(21, (10, 20)) is None
+
+
+def test_bucketed_loader_shapes(tmp_path, rng):
+    cfg = Config(bucket_boundaries_train=(16, 32, 64),
+                 bucket_boundaries_eval=(16, 32, 64),
+                 bucket_batch_sizes=(4, 4, 4), max_tokenlen_train=12,
+                 max_tokenlen_eval=12)
+    paths = _make_shards(tmp_path, rng)
+    loader = BucketedLoader(paths, cfg, is_training=False)
+    seen = 0
+    for audio, audiolen, toks, toklen in loader:
+        B, T, D, C = audio.shape
+        assert T in (16, 32, 64)
+        assert (D, C) == (4, 3)
+        assert toks.shape[1] == 12
+        assert np.all(audiolen <= T)
+        # padding beyond audiolen is zero
+        for i in range(B):
+            assert np.all(audio[i, audiolen[i]:] == 0)
+        seen += B
+    assert seen == 40  # eval pass covers everything
+
+
+def test_bucketed_loader_train_repeats(tmp_path, rng):
+    cfg = Config(bucket_boundaries_train=(64,), bucket_boundaries_eval=(64,),
+                 bucket_batch_sizes=(8,), max_tokenlen_train=12)
+    paths = _make_shards(tmp_path, rng)
+    it = iter(BucketedLoader(paths, cfg, is_training=True, seed=1))
+    batches = [next(it) for _ in range(12)]  # > one epoch worth
+    assert all(b[0].shape[0] == 8 for b in batches)
+
+
+def test_prefetcher_passthrough_and_errors():
+    out = list(DevicePrefetcher(iter([1, 2, 3]), lambda x: x * 2, depth=2))
+    assert out == [2, 4, 6]
+
+    def boom():
+        yield 1
+        raise RuntimeError("io error")
+
+    pf = DevicePrefetcher(boom(), lambda x: x, depth=2)
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError):
+        list(pf)
