@@ -80,3 +80,42 @@ def eval_forward(params, bn_state, audio, audiolen, cfg: Config,
         params, bn_state, audio, audiolen, cfg, dec_steps,
         teacher=None, is_training=False)
     return logits, jnp.argmax(logits, -1)
+
+
+def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config,
+                         dec_steps: int):
+    """Compile train_step as ONE SPMD program over a ('data','model') mesh.
+
+    Params/opt-state are sharded by the tensor-parallel rule
+    (parallel/sharding.py), the batch along 'data'; GSPMD propagates
+    activation shardings and inserts the gradient psum over ICI — the
+    TPU-native replacement for the reference's single hardcoded GPU
+    (train.py:23).  Returns (jitted_step, sharded_state, shard_batch_fn).
+    """
+    from ..parallel import sharding as sh
+
+    state_sh = sh.state_shardings(mesh, ts, cfg.model_axis)
+    batch_sh = sh.batch_shardings(mesh, tuple(batch), cfg.data_axis)
+
+    def step_fn(ts, batch):
+        rng, step_rng = jax.random.split(ts.rng)
+        grad_fn = jax.value_and_grad(las.total_loss, has_aux=True)
+        (loss, (_, _, new_bn)), grads = grad_fn(
+            ts.params, ts.bn_state, batch, cfg, dec_steps, step_rng, ts.step)
+        tx = make_optimizer(cfg)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        new_ts = TrainState(new_params, new_bn, new_opt, ts.step + 1, rng)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   "lr": las.scheduled_learning_rate(cfg, ts.step)}
+        return new_ts, metrics
+
+    jitted = jax.jit(step_fn, in_shardings=(state_sh, batch_sh),
+                     out_shardings=(state_sh, None),
+                     donate_argnums=(0,))
+    sharded_ts = jax.tree_util.tree_map(jax.device_put, ts, state_sh)
+
+    def shard_batch(b):
+        return jax.tree_util.tree_map(jax.device_put, tuple(b), batch_sh)
+
+    return jitted, sharded_ts, shard_batch

@@ -1,0 +1,85 @@
+"""Headline benchmark: on-TPU fused acoustic frontend throughput.
+
+The reference extracts MFCC+CMVN+delta/delta-delta features in a per-utterance
+CPU speechpy loop (reference preprocess.py:50-91); BASELINE.md's north-star
+target is >=50x that throughput.  This benchmark measures:
+
+- baseline: the NumPy speechpy-semantics pipeline (ops/frontend_host.py),
+  one utterance at a time on the host — a faithful stand-in for the
+  reference's hot loop (same math, same output).
+- candidate: the batched, jitted JAX frontend (ops/frontend.py) on the
+  available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "frontend_utts_per_sec", "value": N, "unit": "utt/s",
+   "vs_baseline": speedup}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from automatic_speech_recognition_tpu.ops import frontend, frontend_host
+
+SAMPLE_RATE = 16000
+UTT_SECONDS = 10.0
+FEAT_DIM = 13
+BATCH = 128
+CPU_UTTS = 8
+DEVICE_ITERS = 10
+
+
+def make_audio(n, seconds, rng):
+    s = int(seconds * SAMPLE_RATE)
+    return (rng.standard_normal((n, s)) * 0.1).astype(np.float32)
+
+
+def bench_cpu(audio):
+    t0 = time.perf_counter()
+    for i in range(audio.shape[0]):
+        frontend_host.process_audio(
+            audio[i], sample_rate=SAMPLE_RATE, feat_dim=FEAT_DIM,
+            feat_type="mfcc", apply_cmvn=True)
+    dt = time.perf_counter() - t0
+    return audio.shape[0] / dt
+
+
+def bench_device(audio):
+    audiolen = jnp.full((audio.shape[0],), audio.shape[1], jnp.int32)
+    x = jnp.asarray(audio)
+
+    def run():
+        f, fl = frontend.extract_features(
+            x, audiolen, sample_rate=SAMPLE_RATE, feat_dim=FEAT_DIM,
+            feat_type="mfcc", apply_cmvn=True)
+        return f
+
+    run().block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(DEVICE_ITERS):
+        out = run()
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return DEVICE_ITERS * audio.shape[0] / dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    cpu_rate = bench_cpu(make_audio(CPU_UTTS, UTT_SECONDS, rng))
+    dev_rate = bench_device(make_audio(BATCH, UTT_SECONDS, rng))
+    print(json.dumps({
+        "metric": "frontend_utts_per_sec",
+        "value": round(dev_rate, 2),
+        "unit": "utt/s",
+        "vs_baseline": round(dev_rate / cpu_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
