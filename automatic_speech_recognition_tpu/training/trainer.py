@@ -100,14 +100,18 @@ def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config,
     def step_fn(ts, batch):
         rng, step_rng = jax.random.split(ts.rng)
         grad_fn = jax.value_and_grad(las.total_loss, has_aux=True)
-        (loss, (_, _, new_bn)), grads = grad_fn(
+        (loss, (logits, alphas, new_bn)), grads = grad_fn(
             ts.params, ts.bn_state, batch, cfg, dec_steps, step_rng, ts.step)
         tx = make_optimizer(cfg)
         updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
         new_ts = TrainState(new_params, new_bn, new_opt, ts.step + 1, rng)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                   "lr": las.scheduled_learning_rate(cfg, ts.step)}
+                   "lr": las.scheduled_learning_rate(cfg, ts.step),
+                   "tf_rate": (las.scheduled_sampling_rate(cfg, ts.step)
+                               if cfg.scheduled_sampling else jnp.array(1.0)),
+                   "sample_ids": jnp.argmax(logits[0], -1),
+                   "sample_alphas": alphas[0]}
         return new_ts, metrics
 
     jitted = jax.jit(step_fn, in_shardings=(state_sh, batch_sh),

@@ -1,0 +1,87 @@
+"""Greedy batch evaluation: decode eval shards, report corpus WER
+(reference driver: test.py:28-136).
+
+Differences from the reference by design:
+- inference is a single jitted program per bucket shape (no sess.run),
+  dec_steps = convert_rate * padded_frames statically per bucket
+  (reference: las/las.py:309-312 computes it from max(audiolen));
+- batches stream through the same ARSH bucketed loader as training;
+- predictions/ground truth are written to log_dir/test_pred.txt and
+  log_dir/test_gt.txt, WER printed (test.py:120-136 semantics).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import sys
+
+import jax
+import numpy as np
+
+from automatic_speech_recognition_tpu.config import parse_args
+from automatic_speech_recognition_tpu.data.pipeline import BucketedLoader
+from automatic_speech_recognition_tpu.models import las
+from automatic_speech_recognition_tpu.training import trainer
+from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
+from automatic_speech_recognition_tpu.utils.text import (
+    convert_idx_to_string, corpus_wer)
+from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+                        format="%(asctime)s [%(levelname)s] %(message)s")
+    log = logging.getLogger("test")
+
+    tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
+    cfg = cfg.replace(vocab_size=tokenizer.get_vocab_size())
+
+    pattern = cfg.shard_glob or os.path.join(cfg.shard_dir,
+                                             f"{cfg.split}-*.arsh")
+    files = sorted(glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no eval shards match {pattern}")
+    loader = BucketedLoader(files, cfg, is_training=False)
+    log.info("eval records: %d in %d shards", loader.num_records, len(files))
+
+    ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
+    ckpt = CheckpointManager(cfg.save_dir)
+    restored = ckpt.restore(ts, epoch=cfg.restore_epoch)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint found in {cfg.save_dir}")
+    ts = restored
+    log.info("restored epoch %s (step %d)",
+             cfg.restore_epoch if cfg.restore_epoch >= 0
+             else ckpt.latest_epoch(), int(ts.step))
+
+    hyps, refs = [], []
+    for batch in loader:
+        audio, audiolen, ys, yslen = batch
+        dec_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
+        _, y_hat = trainer.eval_forward(ts.params, ts.bn_state,
+                                        audio, audiolen, cfg, dec_steps)
+        y_hat = np.asarray(jax.device_get(y_hat))
+        for i in range(y_hat.shape[0]):
+            hyps.append(convert_idx_to_string(y_hat[i],
+                                              tokenizer.id_to_token, cfg.unit))
+            refs.append(convert_idx_to_string(ys[i],
+                                              tokenizer.id_to_token, cfg.unit))
+        log.info("decoded %d utts", len(hyps))
+
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    with open(os.path.join(cfg.log_dir, "test_pred.txt"), "w") as f:
+        f.write("\n".join(hyps))
+    with open(os.path.join(cfg.log_dir, "test_gt.txt"), "w") as f:
+        f.write("\n".join(refs))
+
+    w = corpus_wer(refs, hyps)
+    log.info("WER: %.4f over %d utterances", w, len(refs))
+    print(f"WER: {w:.4f}")
+    return w
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Integration tests: train/eval drivers, checkpoint resume, overfit gate.
+
+SURVEY.md §7 stage 6 gate: a fixed-seed tiny model must overfit a small
+subset (loss falls hard), and the CLI round trip train -> checkpoint ->
+test must produce a WER.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from automatic_speech_recognition_tpu.config import Config
+from automatic_speech_recognition_tpu.data import shards
+from automatic_speech_recognition_tpu.training import trainer
+from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
+from automatic_speech_recognition_tpu.utils.tokenizer import CharEncoder
+
+TINY = dict(unit="char", vocab_size=30, feat_dim=8, enc_type="cnn",
+            enc_units=16, num_enc_channels=4, num_enc_layers=1,
+            dec_units=16, num_dec_layers=1, embedding_size=8,
+            attention_size=8, mode="add", dropout_rate=0.0,
+            scheduled_sampling=False, apply_bn=False, label_smoothing=False,
+            lr=5e-3)
+
+
+def make_batch(rng, B=4, T=32, L=8, D=8):
+    audio = rng.standard_normal((B, T, D, 3)).astype(np.float32)
+    audiolen = np.full((B,), T, np.int32)
+    ys = rng.integers(3, 29, (B, L)).astype(np.int32)
+    ys[:, -1] = 2  # <EOS>
+    yslen = np.full((B,), L, np.int32)
+    return audio, audiolen, ys, yslen
+
+
+def test_overfit_tiny_batch(rng):
+    """Fixed batch, repeated steps: loss must collapse (learnability gate)."""
+    cfg = Config(**TINY)
+    batch = make_batch(rng)
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    losses = []
+    for _ in range(60):
+        ts, m = trainer.train_step(ts, batch, cfg, dec_steps=8)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < 0.3 * losses[0], losses[::10]
+    assert losses[-1] < 1.0, losses[-1]
+
+
+def test_checkpoint_roundtrip_resume(tmp_path, rng):
+    cfg = Config(**TINY)
+    batch = make_batch(rng)
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    for _ in range(3):
+        ts, _ = trainer.train_step(ts, batch, cfg, dec_steps=8)
+    cm = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    cm.save(1, jax.device_get(ts))
+    fresh = trainer.create_train_state(jax.random.PRNGKey(1), cfg)
+    restored = cm.restore(fresh)
+    assert int(restored.step) == 3
+    a = jax.tree_util.tree_leaves(ts.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # resumed training continues identically from the restored state
+    ts1, m1 = trainer.train_step(ts, batch, cfg, dec_steps=8)
+    ts2, m2 = trainer.train_step(restored, batch, cfg, dec_steps=8)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_train_test_cli_roundtrip(tmp_path, rng):
+    """Full CLI pipeline: shards -> train.py -> test.py -> WER in [0, +inf)."""
+    import train as train_cli
+    import test as test_cli
+
+    d = str(tmp_path)
+    tok = CharEncoder()
+    feats, tokens = [], []
+    for _ in range(16):
+        T = int(rng.integers(24, 48))
+        feats.append(rng.standard_normal((T, 8, 3)).astype(np.float32))
+        tokens.append(np.asarray(tok.encode("AB CD", with_eos=True), np.int32))
+    shards.create_shards(feats, tokens, os.path.join(d, "train"),
+                         records_per_shard=8)
+    shards.create_shards(feats[:8], tokens[:8], os.path.join(d, "dev"),
+                         records_per_shard=8)
+    args = ["--unit", "char", "--feat_dim", "8", "--enc_units", "16",
+            "--num_enc_channels", "4", "--num_enc_layers", "1",
+            "--dec_units", "16", "--num_dec_layers", "1",
+            "--embedding_size", "8", "--attention_size", "8",
+            "--mode", "add", "--dropout_rate", "0.0",
+            "--scheduled_sampling", "False",
+            "--shard_dir", d, "--save_dir", d + "/model",
+            "--log_dir", d + "/log", "--summary_dir", d + "/summary",
+            "--epoch", "1", "--steps_per_epoch", "4",
+            "--bucket_boundaries_train", "48,64",
+            "--bucket_boundaries_eval", "48,64",
+            "--bucket_batch_sizes", "8,8",
+            "--max_tokenlen_train", "12", "--max_tokenlen_eval", "12"]
+    train_cli.main(args)
+    assert os.path.exists(d + "/summary/events.jsonl")
+    wer = test_cli.main(args + ["--split", "dev", "--convert_rate", "0.3"])
+    assert np.isfinite(wer) and wer >= 0.0
+    assert os.path.exists(d + "/log/test_pred.txt")
+    assert os.path.exists(d + "/log/test_gt.txt")

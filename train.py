@@ -1,0 +1,131 @@
+"""Train a LAS model on ARSH shards (reference driver: train.py:27-133).
+
+TPU-native restructuring of the reference script: instead of a tf.Session
+step loop on one hardcoded GPU, the whole optimization step (forward +
+backward + Adam) is ONE jitted SPMD program over a ('data','model') mesh;
+the host only feeds bucketed static-shape batches through a prefetch
+thread and writes logs/checkpoints.
+
+Example (tiny smoke run):
+  python train.py --unit char --feat_dim 13 --enc_units 32 --dec_units 32 \\
+      --shard_dir /tmp/shards --save_dir /tmp/model --log_dir /tmp/log \\
+      --epoch 1 --steps_per_epoch 10
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from automatic_speech_recognition_tpu.config import parse_args
+from automatic_speech_recognition_tpu.data.pipeline import (
+    BucketedLoader, DevicePrefetcher)
+from automatic_speech_recognition_tpu.parallel.mesh import make_mesh
+from automatic_speech_recognition_tpu.training import trainer
+from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
+from automatic_speech_recognition_tpu.utils import summary as summary_lib
+from automatic_speech_recognition_tpu.utils.text import convert_idx_to_string
+from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
+
+
+def setup_logging(verbose: int = 0):
+    logging.basicConfig(
+        stream=sys.stdout, level=logging.INFO,
+        format="%(asctime)s [%(levelname)s] %(message)s")
+    return logging.getLogger("train")
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    log = setup_logging(cfg.verbose)
+
+    tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
+    cfg = cfg.replace(vocab_size=tokenizer.get_vocab_size())
+    log.info("vocab size: %d (%s)", cfg.vocab_size, cfg.unit)
+
+    pattern = cfg.shard_glob or os.path.join(cfg.shard_dir, "train-*.arsh")
+    files = sorted(glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no training shards match {pattern}")
+    loader = BucketedLoader(files, cfg, is_training=True, seed=cfg.seed)
+    log.info("training records: %d in %d shards", loader.num_records,
+             len(files))
+
+    steps_per_epoch = cfg.steps_per_epoch or cfg.num_train_batches
+    mesh = make_mesh(num_partitions=cfg.num_partitions,
+                     data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+    log.info("mesh: %s over %d devices (%s)", dict(mesh.shape),
+             mesh.size, jax.devices()[0].platform)
+
+    ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
+    ckpt = CheckpointManager(cfg.save_dir, max_to_keep=30)
+    start_epoch = 0
+    restored = ckpt.restore(ts, epoch=cfg.restore_epoch)
+    if restored is not None:
+        ts = restored
+        start_epoch = (cfg.restore_epoch if cfg.restore_epoch >= 0
+                       else ckpt.latest_epoch())
+        log.info("restored epoch %d (global step %d)", start_epoch,
+                 int(ts.step))
+    writer = summary_lib.SummaryWriter(cfg.summary_dir)
+    timers = summary_lib.StageTimer()
+
+    it = iter(loader)
+    first = next(it)
+    step_fn, ts, shard_batch = trainer.make_mesh_train_step(
+        mesh, ts, first, cfg, dec_steps=int(first[2].shape[1]))
+
+    def feed():
+        yield first
+        yield from it
+
+    batches = DevicePrefetcher(feed(), shard_batch, depth=cfg.prefetch_depth)
+    total_steps = cfg.epoch * steps_per_epoch
+    global_step = int(jax.device_get(ts.step))
+    t_last, s_last = time.perf_counter(), global_step
+
+    for batch in batches:
+        if global_step >= total_steps:
+            break
+        with timers.stage("train_step"):
+            ts, metrics = step_fn(ts, batch)
+        global_step += 1
+        if global_step % 10 == 0 or global_step == 1:
+            m = jax.device_get(metrics)
+            now = time.perf_counter()
+            sps = (global_step - s_last) / max(now - t_last, 1e-9)
+            t_last, s_last = now, global_step
+            log.info("step %d/%d loss %.4f lr %.2e tf %.2f gnorm %.2f "
+                     "(%.2f steps/s)", global_step, total_steps,
+                     m["loss"], m["lr"], m["tf_rate"], m["grad_norm"], sps)
+            writer.scalar("train/loss", m["loss"], global_step)
+            writer.scalar("train/lr", m["lr"], global_step)
+            writer.scalar("train/tf_rate", m["tf_rate"], global_step)
+            writer.scalar("train/steps_per_sec", sps, global_step)
+            if cfg.verbose:  # HYP/REF pairs (reference: train.py:119-124)
+                hyp = convert_idx_to_string(m["sample_ids"],
+                                            tokenizer.id_to_token, cfg.unit)
+                writer.text("train/hyp", hyp, global_step)
+                writer.image("train/alphas", m["sample_alphas"], global_step)
+                log.info("HYP: %s", hyp[:120])
+        if global_step % steps_per_epoch == 0:
+            epoch = global_step // steps_per_epoch
+            with timers.stage("checkpoint"):
+                ckpt.save(epoch, jax.device_get(ts))
+            log.info("saved epoch %d -> %s", epoch, cfg.save_dir)
+
+    if global_step % steps_per_epoch:
+        ckpt.save(max(1, global_step // steps_per_epoch + 1),
+                  jax.device_get(ts))
+    log.info("done at step %d; timers: %s", global_step, timers.report())
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()
