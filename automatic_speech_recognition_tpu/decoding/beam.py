@@ -1,0 +1,195 @@
+"""Fully on-device batched beam search with optional RNNLM shallow fusion.
+
+The reference decodes on the host: 2-3 sess.runs PER OUTPUT TOKEN per
+utterance, NumPy argsort bookkeeping, batch size hard-limited to 1
+(las/beam_search.py:61-158, :70-72).  Here the entire search is ONE jitted
+program: beams live as a (K, ...) batch inside a lax.while_loop, utterances
+are vmapped, so a whole eval batch decodes in a single device call.
+
+Reference semantics reproduced exactly (las/beam_search.py):
+- scores accumulate RAW decoder logits, not log-softmax (:123-124 reads
+  `logits` straight from the dense output); a documented compat switch
+  (`logprob=True`) enables proper log-softmax scoring instead.
+- step 0 expands only one beam (the K initial hypotheses are identical
+  copies; :119).
+- `<SOS>` re-emission is skipped for t > 0 (:127-128).
+- per-step selection takes the global top-K over all active beams'
+  expansions.  (The reference prunes to each beam's top-64 first (:123);
+  for K <= 64 that pruning never changes the global top-K, so it is
+  omitted.)  All candidates at step t share length t+1, so the length
+  normalization (:306) cannot affect per-step selection — only the final
+  ranking of finished hypotheses, where it IS applied.
+- hypotheses ending in `<EOS>` retire to a finished bank and their slot
+  stops competing (:148-152); the search stops when the bank holds K
+  hypotheses or after dec_step = audiolen*convert_rate steps (:94, :78),
+  in which case still-active beams join the bank (:155-156).
+- LM shallow fusion: ids shifted by -2 into the LM vocab, one LM step per
+  beam per decode step, `logits[:, 2:] += lm_weight * lm_logits`
+  (:109-116, :226-236).  A shifted `<SOS>` (= -1) embeds as a zero vector.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models import char_rnn, las
+from ..ops import layers as L
+
+NEG = -1.0e30
+SOS_ID = 1
+EOS_ID = 2
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray   # (B, K, max_steps) generated ids (EOS included)
+    lengths: jnp.ndarray  # (B, K) generated token counts
+    scores: jnp.ndarray   # (B, K) length-normalized scores, best first
+
+
+def _gather_state(tree, idx):
+    return jax.tree_util.tree_map(lambda s: s[idx], tree)
+
+
+def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
+                        dec_step, max_steps: int, beam_size: int,
+                        logprob: bool, lm_params, lm_cfg):
+    """Beam search for ONE utterance; vmapped over the batch by the caller.
+
+    enc_out: (T, H); enc_len: scalar; dec_step: scalar step budget.
+    """
+    K, V = beam_size, cfg.vocab_size
+    T, H = enc_out.shape
+    enc_out_k = jnp.broadcast_to(enc_out, (K, T, H))
+    enc_len_k = jnp.broadcast_to(enc_len, (K,))
+    use_lm = lm_params is not None
+
+    class Carry(NamedTuple):
+        t: jnp.ndarray
+        prev_ids: jnp.ndarray      # (K,)
+        prev_align: jnp.ndarray    # (K, T)
+        dec_states: jnp.ndarray    # (L, K, U)
+        cum: jnp.ndarray           # (K,) cumulative scores
+        valid: jnp.ndarray         # (K,) bool, slot still active
+        tokens: jnp.ndarray        # (K, max_steps)
+        bank_tokens: jnp.ndarray   # (K, max_steps)
+        bank_len: jnp.ndarray      # (K,)
+        bank_score: jnp.ndarray    # (K,) normalized, NEG if empty
+        n_finished: jnp.ndarray
+        lm_states: Any
+
+    init = Carry(
+        t=jnp.zeros((), jnp.int32),
+        prev_ids=jnp.full((K,), SOS_ID, jnp.int32),
+        prev_align=jnp.zeros((K, T), jnp.float32),
+        dec_states=jnp.zeros((cfg.num_dec_layers, K, cfg.dec_units),
+                             jnp.float32),
+        cum=jnp.zeros((K,), jnp.float32),
+        # only beam 0 expands at t=0 (las/beam_search.py:119)
+        valid=jnp.arange(K) == 0,
+        tokens=jnp.zeros((K, max_steps), jnp.int32),
+        bank_tokens=jnp.zeros((K, max_steps), jnp.int32),
+        bank_len=jnp.zeros((K,), jnp.int32),
+        bank_score=jnp.full((K,), NEG, jnp.float32),
+        n_finished=jnp.zeros((), jnp.int32),
+        lm_states=(char_rnn.zero_state(lm_cfg, K) if use_lm else ()),
+    )
+
+    def cond(c: Carry):
+        return (c.t < dec_step) & (c.n_finished < K)
+
+    def body(c: Carry) -> Carry:
+        prev_emb = L.embedding_lookup(speller_params["embedding"], c.prev_ids)
+        logits, new_states, alphas = las.decode_step(
+            speller_params, cfg, enc_out_k, enc_len_k, c.dec_states,
+            prev_emb, c.prev_align)
+        if use_lm:
+            lm_logits, new_lm_states = char_rnn.lm_step(
+                lm_params, lm_cfg, c.prev_ids - 2, c.lm_states)
+            logits = logits.at[:, 2:].add(cfg.lm_weight * lm_logits)
+        else:
+            new_lm_states = c.lm_states
+        step_scores = jax.nn.log_softmax(logits, -1) if logprob else logits
+
+        cand = c.cum[:, None] + step_scores                   # (K, V)
+        cand = jnp.where(c.valid[:, None], cand, NEG)
+        # skip <SOS> re-emission for t > 0 (las/beam_search.py:127)
+        sos_penalty = jnp.where(c.t > 0, NEG, 0.0)
+        cand = cand.at[:, SOS_ID].add(sos_penalty)
+
+        scores, flat_idx = jax.lax.top_k(cand.reshape(-1), K)
+        parent = flat_idx // V
+        tok = flat_idx % V
+
+        new_tokens = c.tokens[parent].at[:, c.t].set(tok)
+        eos = tok == EOS_ID
+        norm = scores / (c.t + 1).astype(jnp.float32)
+
+        # merge newly finished hypotheses into the bank, keep best K
+        cat_scores = jnp.concatenate([c.bank_score,
+                                      jnp.where(eos, norm, NEG)])
+        cat_tokens = jnp.concatenate([c.bank_tokens, new_tokens])
+        cat_len = jnp.concatenate([c.bank_len,
+                                   jnp.full((K,), c.t + 1, jnp.int32)])
+        bank_score, bidx = jax.lax.top_k(cat_scores, K)
+        return Carry(
+            t=c.t + 1,
+            prev_ids=tok,
+            prev_align=alphas[parent],
+            dec_states=new_states[:, parent],
+            cum=jnp.where(eos, NEG, scores),
+            valid=~eos,
+            tokens=new_tokens,
+            bank_tokens=cat_tokens[bidx],
+            bank_len=cat_len[bidx],
+            bank_score=bank_score,
+            n_finished=c.n_finished + jnp.sum(eos).astype(jnp.int32),
+            lm_states=(_gather_state(new_lm_states, parent)
+                       if use_lm else c.lm_states),
+        )
+
+    c = jax.lax.while_loop(cond, body, init)
+
+    # step budget exhausted -> still-active beams join the bank
+    # (las/beam_search.py:155-156)
+    exhausted = (c.t >= dec_step) & c.valid
+    live_norm = jnp.where(exhausted,
+                          c.cum / jnp.maximum(c.t, 1).astype(jnp.float32),
+                          NEG)
+    cat_scores = jnp.concatenate([c.bank_score, live_norm])
+    cat_tokens = jnp.concatenate([c.bank_tokens, c.tokens])
+    cat_len = jnp.concatenate([c.bank_len,
+                               jnp.broadcast_to(c.t, (K,)).astype(jnp.int32)])
+    final_score, idx = jax.lax.top_k(cat_scores, K)
+    return cat_tokens[idx], cat_len[idx], final_score
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "beam_size", "logprob", "lm_cfg"))
+def beam_search(params, bn_state, audio, audiolen, cfg: Config,
+                max_steps: int, beam_size: int = 8, logprob: bool = False,
+                lm_params=None, lm_cfg: Optional[char_rnn.LMConfig] = None
+                ) -> BeamResult:
+    """Batched beam decode: (B, T, D, 3) audio features -> BeamResult.
+
+    max_steps: static bound (convert_rate * padded frames); per utterance
+    the true budget is convert_rate * audiolen (las/beam_search.py:78).
+    """
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn_state["listener"], audio, audiolen, cfg,
+        is_training=False)
+    dec_step = (audiolen.astype(jnp.float32)
+                * cfg.convert_rate).astype(jnp.int32)
+    dec_step = jnp.minimum(jnp.maximum(dec_step, 1), max_steps)
+
+    fn = functools.partial(_beam_search_single, params["speller"], cfg,
+                           max_steps=max_steps, beam_size=beam_size,
+                           logprob=logprob, lm_params=lm_params,
+                           lm_cfg=lm_cfg)
+    tokens, lengths, scores = jax.vmap(fn)(enc_out, enc_len, dec_step)
+    return BeamResult(tokens, lengths, scores)

@@ -191,3 +191,34 @@ def extract_features_cfg(audio, audiolen, cfg, frames_max: int = 0):
         feat_type=cfg.feat_type, apply_cmvn=cfg.cmvn,
         fft_length=cfg.fft_length, num_mel_filters=cfg.num_mel_filters,
         frames_max=frames_max)
+
+
+def extract_features_list(signals, cfg, batch_size: int = 128,
+                          pad_quantum_s: float = 1.0):
+    """Variable-length corpus featurization on device.
+
+    Replaces the reference's per-utterance CPU loop (preprocess.py:67-89):
+    utterances are sorted by length, grouped into batches, padded to a
+    quantized sample count (so only a handful of static shapes compile),
+    pushed through the jitted batched frontend, and un-padded back into
+    per-utterance (T_i, D, 3) float32 arrays in the original order.
+    """
+    n = len(signals)
+    order = sorted(range(n), key=lambda i: len(signals[i]))
+    quantum = max(int(pad_quantum_s * cfg.sample_rate), 1)
+    out = [None] * n
+    for lo in range(0, n, batch_size):
+        idx = order[lo:lo + batch_size]
+        group = [np.asarray(signals[i], np.float32) for i in idx]
+        lens = np.asarray([len(g) for g in group], np.int32)
+        S = int(-(-int(lens.max()) // quantum) * quantum)
+        padded = np.zeros((len(group), S), np.float32)
+        for r, g in enumerate(group):
+            padded[r, :len(g)] = g
+        feats, featlen = extract_features_cfg(
+            jnp.asarray(padded), jnp.asarray(lens), cfg)
+        feats = np.asarray(jax.device_get(feats))
+        featlen = np.asarray(jax.device_get(featlen))
+        for r, i in enumerate(idx):
+            out[i] = feats[r, :featlen[r]]
+    return out

@@ -14,11 +14,16 @@ name translation.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+# orbax emits copious INFO logs per save/restore; keep driver logs readable
+for _name in ("orbax", "orbax.checkpoint", "absl"):
+    logging.getLogger(_name).setLevel(logging.WARNING)
 
 
 class CheckpointManager:

@@ -1,0 +1,130 @@
+"""Beam-search decoding with optional RNNLM shallow fusion
+(reference driver: decode.py:1-149).
+
+TPU-native restructuring: the reference decodes ONE utterance at a time
+with 2-3 sess.runs per output token (host-side beam bookkeeping,
+las/beam_search.py:61-158).  Here whole batches of utterances decode in a
+single device call — the beam lives on the TPU inside a lax.while_loop
+(decoding/beam.py).  Utterances are still sorted by length (decode.py:122)
+— not for fairness but so padded batch shapes stay tight.
+
+Inputs match the reference contract: the feature dumps written by
+preprocess.py ({split}-feats[-i].npy, {split}-{unit}s.npy), the LAS
+checkpoint from train.py, and optionally a train_lm.py output directory
+(--apply_lm, --lm_dir) for fusion.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import jax
+import numpy as np
+
+from automatic_speech_recognition_tpu.config import parse_args
+from automatic_speech_recognition_tpu.decoding import beam as beam_lib
+from automatic_speech_recognition_tpu.models import char_rnn
+from automatic_speech_recognition_tpu.training import trainer
+from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
+from automatic_speech_recognition_tpu.utils.text import (
+    convert_idx_to_string, edit_distance)
+from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
+
+from create_shards import load_cat_feats
+
+logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+                    format="%(asctime)s [%(levelname)s] %(message)s")
+log = logging.getLogger("decode")
+
+DECODE_BATCH = 8
+PAD_QUANTUM = 128  # frames; padded batch shapes quantize to this
+
+
+def batch_iter(feats, tokens, batch):
+    order = np.argsort([len(t) for t in tokens])  # decode.py:122-124
+    for lo in range(0, len(order), batch):
+        idx = order[lo:lo + batch]
+        group = [np.asarray(feats[i], np.float32) for i in idx]
+        lens = np.asarray([len(g) for g in group], np.int32)
+        T = int(-(-int(lens.max()) // PAD_QUANTUM) * PAD_QUANTUM)
+        D, C = group[0].shape[1], group[0].shape[2]
+        audio = np.zeros((len(group), T, D, C), np.float32)
+        for r, g in enumerate(group):
+            audio[r, :len(g)] = g
+        yield audio, lens, [tokens[i] for i in idx]
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    log.info("parameters:\n%s", cfg.to_json())
+
+    tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
+    cfg = cfg.replace(vocab_size=tokenizer.get_vocab_size())
+
+    lm_params, lm_cfg = None, None
+    if cfg.apply_lm:
+        from sample_lm import load_lm
+        lm_params, lm_cfg, _, _ = load_lm(cfg.lm_dir)
+        log.info("RNNLM restored from %s", cfg.lm_dir)
+
+    feats = load_cat_feats(cfg.feat_dir, cfg.split)
+    tokens = list(np.load(
+        os.path.join(cfg.feat_dir, f"{cfg.split}-{cfg.unit}s.npy"),
+        allow_pickle=True))
+    if not feats:
+        raise FileNotFoundError(
+            f"no features for split {cfg.split} in {cfg.feat_dir}; "
+            "run preprocess.py first")
+    log.info("decoding %d utterances (beam %d, lm %s)", len(feats),
+             cfg.beam_size, cfg.apply_lm)
+
+    ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
+    ckpt = CheckpointManager(cfg.save_dir)
+    restored = ckpt.restore(ts, epoch=cfg.restore_epoch)
+    if restored is None:
+        raise FileNotFoundError(f"no LAS checkpoint in {cfg.save_dir}")
+    ts = restored
+    log.info("LAS restored (step %d)", int(ts.step))
+
+    error, N, count = 0.0, 0, 0
+    hyps, refs = [], []
+    for audio, lens, ys in batch_iter(feats, tokens, DECODE_BATCH):
+        max_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
+        res = beam_lib.beam_search(
+            ts.params, ts.bn_state, audio, lens, cfg,
+            max_steps=max_steps, beam_size=cfg.beam_size,
+            lm_params=lm_params, lm_cfg=lm_cfg)
+        toks = np.asarray(res.tokens)
+        tlen = np.asarray(res.lengths)
+        for b in range(audio.shape[0]):
+            hyp = convert_idx_to_string(toks[b, 0, :tlen[b, 0]],
+                                        tokenizer.id_to_token, cfg.unit)
+            ref = convert_idx_to_string(ys[b], tokenizer.id_to_token,
+                                        cfg.unit)
+            dist, n = edit_distance(ref.split(" "), hyp.split(" "))
+            error += dist
+            N += n
+            count += 1
+            if cfg.verbose > 0:
+                log.info("REF | %s", ref)
+                log.info("HYP | %s", hyp)
+            hyps.append(hyp)
+            refs.append(ref)
+        log.info("utt %d/%d, running WER: %.4f", count, len(feats),
+                 error / max(N, 1))
+
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    with open(os.path.join(cfg.log_dir, "decode_pred.txt"), "w") as f:
+        f.write("\n".join(hyps))
+    with open(os.path.join(cfg.log_dir, "decode_gt.txt"), "w") as f:
+        f.write("\n".join(refs))
+    wer = error / max(N, 1)
+    log.info("%s WER: %.4f", cfg.split, wer)
+    print(f"WER: {wer:.4f}")
+    return wer
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Corpus preprocessing: transcripts -> token ids, audio -> features
+(reference driver: preprocess.py:110-202).
+
+TPU-native restructuring: the reference runs speechpy per utterance on the
+host CPU (its hot loop, preprocess.py:67-89); here audio is decoded on the
+host and featurized by the batched on-device frontend
+(ops/frontend.extract_features_list) — the 50x north-star path.  Speed
+augmentation is an in-memory resampler (ops/augmentation.py) instead of a
+sox subprocess per file.
+
+Output layout mirrors the reference (feat_dir):
+  {cat}-feats.npy / {cat}-feats-{i}.npy   object arrays of (T, D, 3) float32
+  {cat}-featlen.npy                       int lengths
+  {cat}-{unit}s.npy, {cat}-{unit}len.npy  ragged token ids + lengths
+(The reference uses joblib pickles for feats; .npy object arrays carry the
+same content without the joblib dependency.)
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+from automatic_speech_recognition_tpu.config import parse_args
+from automatic_speech_recognition_tpu.data.audio_io import read_audio
+from automatic_speech_recognition_tpu.ops import augmentation
+from automatic_speech_recognition_tpu.ops import frontend
+from automatic_speech_recognition_tpu.utils.text import strip_punctuation
+from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
+
+logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+                    format="%(asctime)s [%(levelname)s] %(message)s")
+log = logging.getLogger("preprocess")
+
+
+def data_preparation(libri_path):
+    """Pair transcript lines with audio files (reference: preprocess.py:26-48).
+
+    Walks <libri_path>/**/**/, reads each chapter's .txt, pairs every line
+    with `<utt_id>.flac` (or `.wav`), strips apostrophes.
+    """
+    folders = sorted(globlib.glob(os.path.join(libri_path, "**", "**")))
+    texts, audio_path = [], []
+    for path in folders:
+        txts = sorted(globlib.glob(os.path.join(path, "*txt")))
+        if not txts:
+            continue
+        with open(txts[0]) as f:
+            for line in f.readlines():
+                head = line.split(" ")[0]
+                base = os.path.join(path, head)
+                cand = base + ".flac" if os.path.exists(base + ".flac") \
+                    else base + ".wav"
+                audio_path.append(cand)
+                texts.append(line[len(head) + 1:-1].replace("'", ""))
+    return texts, audio_path
+
+
+def process_texts(texts, tokenizer):
+    """Strip punctuation, tokenize, append EOS (reference: preprocess.py:93-107)."""
+    tokens, tokenlen = [], []
+    for t in texts:
+        ids = tokenizer.encode(strip_punctuation(t), with_eos=True)
+        tokens.append(np.asarray(ids, np.int32))
+        tokenlen.append(len(ids))
+    return _object_array(tokens), np.asarray(tokenlen, np.int32)
+
+
+def _object_array(items):
+    arr = np.empty(len(items), dtype=object)
+    for i, x in enumerate(items):
+        arr[i] = x
+    return arr
+
+
+def load_signals(audio_path, sample_rate):
+    signals = []
+    for p in audio_path:
+        sig, sr = read_audio(p)
+        if sr != sample_rate:
+            raise ValueError(f"{p}: sample rate {sr} != {sample_rate}")
+        signals.append(np.asarray(sig, np.float32))
+    return signals
+
+
+def process_audios(signals, cfg):
+    """Batched on-device featurization; returns (object array, lengths)."""
+    feats = frontend.extract_features_list(signals, cfg)
+    featlen = np.asarray([len(f) for f in feats], np.int32)
+    return _object_array(feats), featlen
+
+
+def save_feats(cfg, cat, signals):
+    """Shard big sets like the reference (>30k utts, preprocess.py:17,
+    :112-125)."""
+    thr = cfg.sample_threshold
+    if len(signals) > thr:
+        k = max(len(signals) // thr, 1)
+        n = len(signals) // k + 1
+        featlen_all = []
+        for i in range(k):
+            feats, featlen = process_audios(signals[i * n:(i + 1) * n], cfg)
+            featlen_all.extend(featlen.tolist())
+            np.save(os.path.join(cfg.feat_dir, f"{cat}-feats-{i}.npy"),
+                    feats, allow_pickle=True)
+        featlen = np.asarray(featlen_all, np.int32)
+    else:
+        feats, featlen = process_audios(signals, cfg)
+        np.save(os.path.join(cfg.feat_dir, f"{cat}-feats.npy"),
+                feats, allow_pickle=True)
+    np.save(os.path.join(cfg.feat_dir, f"{cat}-featlen.npy"), featlen)
+
+
+def main_libri(cfg, tokenizer):
+    path = [("train-100", cfg.train_100hr_corpus_dir),
+            ("train-360", cfg.train_360hr_corpus_dir),
+            ("train-500", cfg.train_500hr_corpus_dir),
+            ("dev", cfg.dev_data_dir),
+            ("test", cfg.test_data_dir)]
+    os.makedirs(cfg.feat_dir, exist_ok=True)
+    for cat, libri_path in path:
+        if not os.path.isdir(libri_path):
+            log.info("skip %s (no directory %s)", cat, libri_path)
+            continue
+        texts, audio_path = data_preparation(libri_path)
+        log.info("%s: %d utterances", cat, len(texts))
+        tokens, tokenlen = process_texts(texts, tokenizer)
+        np.save(os.path.join(cfg.feat_dir, f"{cat}-{cfg.unit}s.npy"),
+                tokens, allow_pickle=True)
+        np.save(os.path.join(cfg.feat_dir, f"{cat}-{cfg.unit}len.npy"),
+                tokenlen)
+        signals = load_signals(audio_path, cfg.sample_rate)
+        save_feats(cfg, cat, signals)
+        if cfg.augmentation and "train" in cat:
+            for s in augmentation.SPEED_LIST:
+                log.info("speed augmentation x%.1f for %s", s, cat)
+                aug = augmentation.speed_augment_all(signals, s)
+                save_feats(cfg, f"speed_{s}", aug)
+                np.save(os.path.join(cfg.feat_dir,
+                                     f"speed_{s}-{cfg.unit}s.npy"),
+                        tokens, allow_pickle=True)
+                np.save(os.path.join(cfg.feat_dir,
+                                     f"speed_{s}-{cfg.unit}len.npy"),
+                        tokenlen)
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    log.info("parameters:\n%s", cfg.to_json())
+    tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
+    assert cfg.dataset == "LibriSpeech", cfg.dataset
+    main_libri(cfg, tokenizer)
+
+
+if __name__ == "__main__":
+    main()

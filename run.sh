@@ -1,0 +1,91 @@
+#!/usr/bin/env bash
+# End-to-end LibriSpeech recipe (reference: run.sh:1-93), with the
+# published-result hyperparameters: bpe-5k / mfcc 13x(+d,dd), enc 512x4
+# (+2 stride-2 convs), dec 1024x2, location-aware attention, lr 1e-4,
+# 100 epochs, beam 8, convert_rate 0.12.
+#
+# Usage: bash run.sh [stage]   (default: run every stage in order)
+set -euo pipefail
+
+stage="${1:-all}"
+
+# ---- recipe hyperparameters (reference run.sh:2-27) ----
+unit=subword
+size=5000
+feat_type=mfcc
+feat_dim=13
+enc_units=512
+dec_units=1024
+embedding_size=256
+attention_size=128
+num_enc_layers=4
+num_dec_layers=2
+mode=loc
+dropout_rate=0.0
+lr=1e-4
+epoch=100
+grad_clip=5
+beam_size=8
+convert_rate=0.12
+
+feat_dir=data/LibriSpeech/features
+shard_dir=data/shards
+subword_dir=subword/
+save_dir=model/las/
+log_dir=log/
+lm_dir=lang/output/
+
+common_flags="--unit $unit --feat_type $feat_type --feat_dim $feat_dim \
+  --enc_units $enc_units --dec_units $dec_units \
+  --embedding_size $embedding_size --attention_size $attention_size \
+  --num_enc_layers $num_enc_layers --num_dec_layers $num_dec_layers \
+  --mode $mode --dropout_rate $dropout_rate --lr $lr --grad_clip $grad_clip \
+  --feat_dir $feat_dir --shard_dir $shard_dir --subword_dir $subword_dir \
+  --save_dir $save_dir --log_dir $log_dir --lm_dir $lm_dir"
+
+run_stage() { [[ "$stage" == "all" || "$stage" == "$1" ]]; }
+
+if run_stage subword; then
+  echo "=== stage: train subword tokenizer (bpe-$size) ==="
+  python3 train_subword.py $common_flags --size $size
+fi
+
+if run_stage preprocess; then
+  echo "=== stage: preprocess (on-device frontend) ==="
+  python3 preprocess.py $common_flags
+fi
+
+if run_stage shards; then
+  echo "=== stage: pack ARSH shards ==="
+  python3 create_shards.py $common_flags
+fi
+
+if run_stage train; then
+  echo "=== stage: train LAS ($epoch epochs) ==="
+  python3 train.py $common_flags --epoch $epoch --scheduled_sampling False
+fi
+
+if run_stage test; then
+  echo "=== stage: greedy eval ==="
+  python3 test.py $common_flags --split dev --convert_rate $convert_rate
+fi
+
+if run_stage lm; then
+  echo "=== stage: train char RNNLM ==="
+  python3 train_lm.py --data_file $subword_dir/corpus_all.txt \
+    --output_dir $lm_dir --num_epochs 10
+fi
+
+if run_stage decode; then
+  echo "=== stage: beam decode (beam $beam_size) ==="
+  python3 decode.py $common_flags --split dev \
+    --beam_size $beam_size --convert_rate $convert_rate \
+    --restore_epoch -1
+fi
+
+if run_stage decode_lm; then
+  echo "=== stage: beam decode + RNNLM fusion ==="
+  python3 decode.py $common_flags --split dev \
+    --beam_size $beam_size --convert_rate $convert_rate \
+    --restore_epoch -1 --apply_lm True --lm_weight 0.5
+fi

@@ -1,0 +1,170 @@
+"""Beam-search correctness: the fused on-device search must match a slow
+host-side reimplementation of the reference algorithm (las/beam_search.py:
+61-158) step for step — same expansion rule, SOS skip, EOS retirement,
+length-normalized final selection.
+
+Also: beam=1 equals greedy argmax, and LM fusion changes scores the
+documented way.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from automatic_speech_recognition_tpu.config import Config
+from automatic_speech_recognition_tpu.decoding import beam as beam_lib
+from automatic_speech_recognition_tpu.models import char_rnn, las
+from automatic_speech_recognition_tpu.ops import layers as L
+
+CFG = Config(unit="char", vocab_size=12, feat_dim=8, enc_type="cnn",
+             enc_units=12, num_enc_channels=4, num_enc_layers=1,
+             dec_units=12, num_dec_layers=2, embedding_size=8,
+             attention_size=8, mode="add", dropout_rate=0.0,
+             scheduled_sampling=False, apply_bn=False)
+
+
+def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
+                        beam_size, lm_params=None, lm_cfg=None,
+                        lm_weight=0.5):
+    """Reference algorithm, host loop (las/beam_search.py:61-158)."""
+    K, V = beam_size, cfg.vocab_size
+    T = enc_out.shape[0]
+    beams = [dict(ids=[1], logp=0.0, align=np.zeros(T, np.float32),
+                  state=np.zeros((cfg.num_dec_layers, cfg.dec_units),
+                                 np.float32),
+                  lm_state=(char_rnn.zero_state(lm_cfg, 1)
+                            if lm_params is not None else None))
+             for _ in range(K)]
+    finished = []
+    t = 0
+    while t < dec_step and len(finished) < K:
+        n = len(beams) if t > 0 else 1
+        prev_ids = jnp.asarray([b["ids"][-1] for b in beams[:n]], jnp.int32)
+        aligns = jnp.asarray(np.stack([b["align"] for b in beams[:n]]))
+        states = jnp.asarray(
+            np.stack([b["state"] for b in beams[:n]], axis=1))
+        emb = L.embedding_lookup(speller_params["embedding"], prev_ids)
+        logits, new_states, alphas = las.decode_step(
+            speller_params, cfg, jnp.broadcast_to(enc_out, (n, T, enc_out.shape[1])),
+            jnp.broadcast_to(enc_len, (n,)), states, emb, aligns)
+        logits = np.array(logits)
+        if lm_params is not None:
+            lm_sts = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs), *[b["lm_state"] for b in beams[:n]])
+            lm_logits, lm_new = char_rnn.lm_step(lm_params, lm_cfg,
+                                                 prev_ids - 2, lm_sts)
+            logits[:, 2:] += lm_weight * np.asarray(lm_logits)
+        new_states = np.asarray(new_states)
+        alphas = np.asarray(alphas)
+        bank = []
+        for i in range(n):
+            top = np.argsort(logits[i])[-64:]
+            for j in top:
+                if t > 0 and j == 1:
+                    continue
+                b = beams[i]
+                item = dict(ids=b["ids"] + [int(j)],
+                            logp=b["logp"] + float(logits[i][j]),
+                            align=alphas[i],
+                            state=new_states[:, i])
+                if lm_params is not None:
+                    item["lm_state"] = jax.tree_util.tree_map(
+                        lambda s: s[i:i + 1], lm_new)
+                else:
+                    item["lm_state"] = None
+                bank.append(item)
+        norm = [b["logp"] / (len(b["ids"]) - 1) for b in bank]
+        keep = np.argsort(norm)[-K:]
+        beams = []
+        for i in keep:
+            if bank[i]["ids"][-1] == 2:
+                finished.append(bank[i])
+            else:
+                beams.append(bank[i])
+        t += 1
+    if t == dec_step:
+        finished.extend(beams)
+    norm = [b["logp"] / (len(b["ids"]) - 1) for b in finished]
+    best = finished[int(np.argsort(norm)[-1])]
+    return best["ids"][1:], max(norm)
+
+
+def _setup(seed=0, B=2, T=24):
+    rng = np.random.default_rng(seed)
+    params, bn_state = las.las_init(jax.random.PRNGKey(seed), CFG)
+    audio = jnp.asarray(rng.standard_normal((B, T, CFG.feat_dim, 3)),
+                        jnp.float32)
+    audiolen = jnp.asarray([T, T - 6], jnp.int32)
+    return params, bn_state, audio, audiolen
+
+
+@pytest.mark.parametrize("beam_size", [1, 4])
+def test_matches_host_reference(beam_size):
+    params, bn_state, audio, audiolen = _setup()
+    max_steps = 8
+    res = beam_lib.beam_search(params, bn_state, audio, audiolen, CFG,
+                               max_steps=max_steps, beam_size=beam_size)
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn_state["listener"], audio, audiolen, CFG,
+        is_training=False)
+    for b in range(audio.shape[0]):
+        dec_step = min(max(int(audiolen[b] * CFG.convert_rate), 1), max_steps)
+        ids, score = host_reference_beam(
+            params["speller"], CFG, enc_out[b], enc_len[b], dec_step,
+            beam_size)
+        got = np.asarray(res.tokens[b, 0])[:int(res.lengths[b, 0])]
+        assert list(got) == ids, (list(got), ids)
+        np.testing.assert_allclose(float(res.scores[b, 0]), score,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_beam1_equals_greedy_prefix():
+    """With beam=1 and raw-logit scoring, the emitted sequence equals the
+    greedy argmax rollout (up to EOS)."""
+    from automatic_speech_recognition_tpu.training import trainer
+    params, bn_state, audio, audiolen = _setup(seed=3)
+    max_steps = 8
+    res = beam_lib.beam_search(params, bn_state, audio, audiolen, CFG,
+                               max_steps=max_steps, beam_size=1)
+    _, y_hat = trainer.eval_forward(params, bn_state, audio, audiolen, CFG,
+                                    dec_steps=max_steps)
+    for b in range(audio.shape[0]):
+        n = int(res.lengths[b, 0])
+        dec_step = min(max(int(audiolen[b] * CFG.convert_rate), 1), max_steps)
+        greedy = np.asarray(y_hat[b])[:dec_step]
+        got = np.asarray(res.tokens[b, 0])[:n]
+        # beam-1 stops at EOS and (unlike greedy) skips <SOS> re-emission
+        # (las/beam_search.py:127) — compare up to whichever comes first
+        limit = n
+        stop = np.where(greedy == 2)[0]
+        if len(stop) and stop[0] < limit:
+            limit = int(stop[0]) + 1
+        sos = np.where(greedy == 1)[0]
+        if len(sos) and sos[0] < limit:
+            limit = int(sos[0])
+        assert list(got[:limit]) == list(greedy[:limit])
+
+
+def test_lm_fusion_matches_host_reference():
+    params, bn_state, audio, audiolen = _setup(seed=5)
+    lm_cfg = char_rnn.LMConfig(vocab_size=CFG.vocab_size - 2, hidden_size=8,
+                               embedding_size=6, num_layers=1, model="lstm")
+    lm_params = char_rnn.lm_init(jax.random.PRNGKey(7), lm_cfg)
+    cfg = CFG.replace(lm_weight=0.3)
+    max_steps, K = 6, 3
+    res = beam_lib.beam_search(params, bn_state, audio, audiolen, cfg,
+                               max_steps=max_steps, beam_size=K,
+                               lm_params=lm_params, lm_cfg=lm_cfg)
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn_state["listener"], audio, audiolen, cfg,
+        is_training=False)
+    for b in range(audio.shape[0]):
+        dec_step = min(max(int(audiolen[b] * cfg.convert_rate), 1), max_steps)
+        ids, score = host_reference_beam(
+            params["speller"], cfg, enc_out[b], enc_len[b], dec_step, K,
+            lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=cfg.lm_weight)
+        got = np.asarray(res.tokens[b, 0])[:int(res.lengths[b, 0])]
+        assert list(got) == ids
+        np.testing.assert_allclose(float(res.scores[b, 0]), score,
+                                   rtol=1e-4, atol=1e-5)
