@@ -22,6 +22,7 @@ import numpy as np
 
 from ..config import Config
 from .shards import ShardReader
+from . import shards_native
 
 
 class Batch(tuple):
@@ -63,7 +64,8 @@ class BucketedLoader:
     """
 
     def __init__(self, shard_files: Sequence[str], cfg: Config,
-                 is_training: bool = True, seed: int = 0):
+                 is_training: bool = True, seed: int = 0,
+                 use_native: Optional[bool] = None):
         if not shard_files:
             raise ValueError("no shard files given")
         self.files = list(shard_files)
@@ -75,13 +77,19 @@ class BucketedLoader:
         self.max_tokenlen = (cfg.max_tokenlen_train if is_training
                              else cfg.max_tokenlen_eval)
         self._rng = np.random.default_rng(seed)
-        self._readers = {f: ShardReader(f) for f in self.files}
+        if use_native is None:
+            use_native = shards_native.available()
+        self.native = bool(use_native)
+        reader_cls = (shards_native.NativeShardReader if self.native
+                      else ShardReader)
+        self._readers = {f: reader_cls(f) for f in self.files}
 
     @property
     def num_records(self) -> int:
         return sum(len(r) for r in self._readers.values())
 
-    def _record_stream(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def _record_stream(self) -> Iterator[Tuple]:
+        """Yields (reader, index, featlen) without materializing records."""
         while True:
             files = list(self.files)
             if self.is_training:
@@ -92,29 +100,51 @@ class BucketedLoader:
                 if self.is_training:
                     self._rng.shuffle(order)
                 for i in order:
-                    yield r.record(int(i))
+                    yield r, int(i), r.featlen(int(i))
             if not self.is_training:
                 return
 
+    def _assemble(self, items, pad_frames: int) -> Batch:
+        """Materialize one padded batch.  Native path: one memcpy per record
+        straight from the shard mmap into the batch buffers."""
+        B = len(items)
+        r0 = items[0][0]
+        D, C = r0.feat_dim, r0.channels
+        audio = np.zeros((B, pad_frames, D, C), np.float32)
+        audiolen = np.zeros((B,), np.int32)
+        toks = np.zeros((B, self.max_tokenlen), np.int32)
+        toklen = np.zeros((B,), np.int32)
+        if self.native:
+            for row, (r, i, _) in enumerate(items):
+                T, L = r.read_into(i, audio[row], toks[row])
+                audiolen[row] = T
+                toklen[row] = L
+        else:
+            for row, (r, i, _) in enumerate(items):
+                feat, tok = r.record(i)
+                T = min(len(feat), pad_frames)
+                L = min(len(tok), self.max_tokenlen)
+                audio[row, :T] = feat[:T]
+                audiolen[row] = T
+                toks[row, :L] = tok[:L]
+                toklen[row] = L
+        return Batch((audio, audiolen, toks, toklen))
+
     def __iter__(self) -> Iterator[Batch]:
         buckets: List[List] = [[] for _ in self.boundaries]
-        for feat, tok in self._record_stream():
-            b = bucket_of(feat.shape[0], self.boundaries)
+        for r, i, featlen in self._record_stream():
+            b = bucket_of(featlen, self.boundaries)
             if b is None:
                 continue  # drop beyond-last-boundary utts (TF raises; we drop)
-            buckets[b].append((feat, tok))
+            buckets[b].append((r, i, featlen))
             bs = self.batch_sizes[min(b, len(self.batch_sizes) - 1)]
             if len(buckets[b]) >= bs:
-                feats, toks = zip(*buckets[b])
-                buckets[b] = []
-                yield _pad_batch(list(feats), list(toks),
-                                 self.boundaries[b], self.max_tokenlen)
+                items, buckets[b] = buckets[b], []
+                yield self._assemble(items, self.boundaries[b])
         # flush leftovers (eval path)
         for b, items in enumerate(buckets):
             if items:
-                feats, toks = zip(*items)
-                yield _pad_batch(list(feats), list(toks),
-                                 self.boundaries[b], self.max_tokenlen)
+                yield self._assemble(items, self.boundaries[b])
 
 
 class DevicePrefetcher:

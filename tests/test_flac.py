@@ -1,0 +1,87 @@
+"""Native FLAC decoder round-trip tests.
+
+Streams are produced by the pure-Python fixture encoder (flac_encoder.py)
+covering every subframe type and channel mode; the C++ decoder
+(native/flacdec.cpp, built on demand) must reproduce the PCM exactly.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from flac_encoder import encode_flac
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+
+def _roundtrip(tmp_path, pcm_channels, **kw):
+    from automatic_speech_recognition_tpu.data.flac import read_flac
+    data = encode_flac(pcm_channels, **kw)
+    p = tmp_path / "t.flac"
+    p.write_bytes(data)
+    sig, rate = read_flac(str(p))
+    return sig, rate
+
+
+def _expected_mono(pcm_channels, bps):
+    stacked = np.stack([c.astype(np.float64) for c in pcm_channels])
+    return stacked.mean(axis=0) / float(1 << (bps - 1))
+
+
+@pytest.mark.parametrize("kind", ["verbatim", "fixed0", "fixed1", "fixed2",
+                                  "fixed3", "fixed4", "lpc"])
+def test_mono_subframe_types(tmp_path, rng, kind):
+    pcm = (rng.standard_normal(1000) * 3000).astype(np.int32)
+    sig, rate = _roundtrip(tmp_path, [pcm], subframe_kind=kind,
+                           blocksize=256)
+    assert rate == 16000
+    np.testing.assert_allclose(sig, _expected_mono([pcm], 16))
+
+
+def test_constant_subframe(tmp_path):
+    pcm = np.full(512, -1234, np.int32)
+    sig, _ = _roundtrip(tmp_path, [pcm], subframe_kind="constant")
+    np.testing.assert_allclose(sig, _expected_mono([pcm], 16))
+
+
+def test_escape_partition(tmp_path, rng):
+    pcm = (rng.standard_normal(300) * 2000).astype(np.int32)
+    sig, _ = _roundtrip(tmp_path, [pcm], subframe_kind="fixed2",
+                        escape_bits=18)
+    np.testing.assert_allclose(sig, _expected_mono([pcm], 16))
+
+
+@pytest.mark.parametrize("mode", ["independent", "left_side", "mid_side"])
+def test_stereo_modes(tmp_path, rng, mode):
+    left = (rng.standard_normal(700) * 5000).astype(np.int32)
+    right = (rng.standard_normal(700) * 5000).astype(np.int32)
+    sig, _ = _roundtrip(tmp_path, [left, right], subframe_kind="fixed1",
+                        channel_mode=mode)
+    np.testing.assert_allclose(sig, _expected_mono([left, right], 16))
+
+
+def test_final_partial_block(tmp_path, rng):
+    pcm = (rng.standard_normal(256 * 2 + 77) * 800).astype(np.int32)
+    sig, _ = _roundtrip(tmp_path, [pcm], subframe_kind="lpc")
+    assert len(sig) == len(pcm)
+    np.testing.assert_allclose(sig, _expected_mono([pcm], 16))
+
+
+def test_8bit_and_24bit(tmp_path, rng):
+    pcm8 = np.clip((rng.standard_normal(400) * 40), -127, 127).astype(np.int32)
+    sig, _ = _roundtrip(tmp_path, [pcm8], bps=8, subframe_kind="verbatim")
+    np.testing.assert_allclose(sig, _expected_mono([pcm8], 8))
+    pcm24 = (rng.standard_normal(400) * 400000).astype(np.int32)
+    sig, _ = _roundtrip(tmp_path, [pcm24], bps=24, subframe_kind="fixed2")
+    np.testing.assert_allclose(sig, _expected_mono([pcm24], 24))
+
+
+def test_read_audio_dispatch(tmp_path, rng):
+    from automatic_speech_recognition_tpu.data.audio_io import read_audio
+    pcm = (rng.standard_normal(500) * 1000).astype(np.int32)
+    p = tmp_path / "x.flac"
+    p.write_bytes(encode_flac([pcm], subframe_kind="fixed1"))
+    sig, rate = read_audio(str(p))
+    assert rate == 16000 and len(sig) == 500
