@@ -133,7 +133,10 @@ class Config:
     num_partitions: int = 1               # model-parallel axis size (mesh 'model')
     data_axis: str = "data"               # mesh axis name for batch sharding
     model_axis: str = "model"             # mesh axis name for model sharding
-    use_pallas: bool = True               # use Pallas kernels where profitable
+    # Pallas frontend kernel: correct + tested, but measured ~20% slower than
+    # the XLA einsum path on TPU v5e (the batched DFT matmul is one giant MXU
+    # op XLA schedules better); off by default, flip to compare.
+    use_pallas: bool = False
     fft_length: int = 512                 # speechpy fixes fft_length=512
     num_mel_filters: int = 40             # speechpy mfcc default num_filters=40
     max_audio_seconds: float = 36.0       # frontend static padding bound

@@ -123,13 +123,15 @@ def stack_derivatives(feat: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=("sample_rate", "frame_length_ms", "frame_step_ms",
                      "feat_dim", "feat_type", "apply_cmvn", "fft_length",
-                     "num_mel_filters", "frames_max", "use_fft"))
+                     "num_mel_filters", "frames_max", "use_fft",
+                     "use_pallas"))
 def extract_features(audio: jnp.ndarray, audiolen: jnp.ndarray, *,
                      sample_rate: int = 16000, frame_length_ms: int = 25,
                      frame_step_ms: int = 10, feat_dim: int = 13,
                      feat_type: str = "mfcc", apply_cmvn: bool = True,
                      fft_length: int = 512, num_mel_filters: int = 40,
-                     frames_max: int = 0, use_fft: bool = False):
+                     frames_max: int = 0, use_fft: bool = False,
+                     use_pallas: bool = False):
     """Batched feature extraction.
 
     Args:
@@ -148,6 +150,25 @@ def extract_features(audio: jnp.ndarray, audiolen: jnp.ndarray, *,
         frames_max = max(host.num_frames(S, flen, fstride), 1)
     featlen = jnp.maximum((audiolen - flen) // fstride, 0).astype(jnp.int32)
     featlen = jnp.minimum(featlen, frames_max)
+
+    if use_pallas:
+        from . import pallas_frontend as pk
+        interpret = jax.default_backend() != "tpu"
+        feat = pk.pallas_frontend(
+            audio.astype(jnp.float32), flen=flen, fstride=fstride,
+            fft_length=fft_length, feat_dim=feat_dim, feat_type=feat_type,
+            num_mel_filters=num_mel_filters, sample_rate=sample_rate,
+            interpret=interpret)
+        if feat.shape[1] < frames_max:
+            feat = jnp.pad(feat, ((0, 0), (0, frames_max - feat.shape[1]),
+                                  (0, 0)))
+        feat = feat[:, :frames_max]
+        if apply_cmvn:
+            feat = masked_cmvn(feat, featlen)
+            feat = stack_derivatives(feat)
+            mask = (jnp.arange(frames_max)[None, :] < featlen[:, None])
+            feat = feat * mask[:, :, None, None].astype(feat.dtype)
+        return feat, featlen
 
     frames = frame_signal(audio.astype(jnp.float32), flen, fstride, frames_max)
     ps = _power_spectrum(frames, fft_length, use_fft)            # (B,T,K)
