@@ -279,10 +279,25 @@ def las_init(key, cfg: Config) -> Tuple[Dict, Dict]:
     return {"listener": lp, "speller": sp}, {"listener": lstate}
 
 
+def compute_cast(cfg: Config, params, audio):
+    """Mixed precision: bfloat16 compute, float32 master weights.
+
+    cfg.dtype == 'bfloat16' casts parameters and activations entering the
+    forward; losses and optimizer state stay float32.  bf16 doubles MXU
+    throughput and halves HBM traffic on TPU."""
+    if cfg.dtype != "bfloat16":
+        return params, audio
+    cast = lambda x: (x.astype(jnp.bfloat16)
+                      if x.dtype == jnp.float32 else x)
+    return jax.tree_util.tree_map(cast, params), audio.astype(jnp.bfloat16)
+
+
 def las_forward(params, state, audio, audiolen, cfg: Config, dec_steps: int,
                 teacher=None, is_training=True, rng=None, tf_rate=1.0):
     """Full encoder-decoder forward.  Returns
-    (logits, ctc_logits, alphas, enc_len, new_state)."""
+    (logits, ctc_logits, alphas, enc_len, new_state); logits/alphas float32
+    regardless of compute dtype."""
+    params, audio = compute_cast(cfg, params, audio)
     drop_key = None
     if rng is not None and is_training:
         rng, drop_key = jax.random.split(rng)
@@ -295,6 +310,10 @@ def las_forward(params, state, audio, audiolen, cfg: Config, dec_steps: int,
     logits, alphas = speller_apply(
         params["speller"], cfg, enc_out, enc_len, dec_steps, teacher,
         is_training, rng, tf_rate)
+    logits = logits.astype(jnp.float32)
+    alphas = alphas.astype(jnp.float32)
+    if ctc_logits is not None:
+        ctc_logits = ctc_logits.astype(jnp.float32)
     return logits, ctc_logits, alphas, enc_len, {"listener": new_lstate}
 
 

@@ -203,17 +203,24 @@ def bn_init(dim: int) -> Tuple[Dict, Dict]:
 
 def bn_apply(params: Dict, state: Dict, x: jnp.ndarray, is_training: bool,
              momentum: float = 0.99, eps: float = 1e-3):
-    """tf.layers.batch_normalization semantics over the last axis."""
+    """tf.layers.batch_normalization semantics over the last axis.
+
+    Batch statistics and the moving-average state are always float32,
+    independent of the compute dtype (bf16 inputs would otherwise degrade
+    the running estimates)."""
     if is_training:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axes)
-        var = jnp.var(x, axes)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axes)
+        var = jnp.var(xf, axes)
         new_state = {"mean": momentum * state["mean"] + (1 - momentum) * mean,
                      "var": momentum * state["var"] + (1 - momentum) * var}
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    y = ((x - mean.astype(x.dtype))
+         * jax.lax.rsqrt(var + eps).astype(x.dtype)
+         * params["scale"] + params["bias"])
     return y, new_state
 
 
