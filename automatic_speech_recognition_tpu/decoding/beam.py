@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..models import char_rnn, las
+from ..ops import attention as att
 from ..ops import layers as L
 
 NEG = -1.0e30
@@ -66,6 +67,10 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
     T, H = enc_out.shape
     enc_out_k = jnp.broadcast_to(enc_out, (K, T, H))
     enc_len_k = jnp.broadcast_to(enc_len, (K,))
+    # encoder projection shared by every step and every beam
+    h_proj_k = jnp.broadcast_to(
+        att.precompute_hidden(speller_params["attention"], enc_out),
+        (K, T, speller_params["attention"]["w_h"]["w"].shape[-1]))
     use_lm = lm_params is not None
 
     class Carry(NamedTuple):
@@ -106,7 +111,7 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         prev_emb = L.embedding_lookup(speller_params["embedding"], c.prev_ids)
         logits, new_states, alphas = las.decode_step(
             speller_params, cfg, enc_out_k, enc_len_k, c.dec_states,
-            prev_emb, c.prev_align)
+            prev_emb, c.prev_align, h_proj_k)
         if use_lm:
             lm_logits, new_lm_states = char_rnn.lm_step(
                 lm_params, lm_cfg, c.prev_ids - 2, c.lm_states)

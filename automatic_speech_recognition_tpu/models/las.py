@@ -189,16 +189,17 @@ def speller_init(key, cfg: Config) -> Dict:
 
 
 def decode_step(params, cfg: Config, enc_out, enc_len, states, prev_emb,
-                prev_align):
+                prev_align, h_proj=None):
     """One decoder step (reference: Speller.decode, las/las.py:145-160).
 
     states: (L, B, U).  Attention query = concat of ALL layer states
-    (las/las.py:185-189).
+    (las/las.py:185-189).  h_proj: optional precomputed enc_out @ W_h.
     """
     B = enc_out.shape[0]
     s_i = jnp.transpose(states, (1, 0, 2)).reshape(B, -1)
     context, alphas = att.attention_apply(
-        params["attention"], cfg.mode, enc_out, s_i, prev_align, enc_len)
+        params["attention"], cfg.mode, enc_out, s_i, prev_align, enc_len,
+        h_proj)
     x = jnp.concatenate([prev_emb, context], -1)
     new_states = []
     for l in range(cfg.num_dec_layers):
@@ -249,10 +250,13 @@ def speller_apply(params, cfg: Config, enc_out, enc_len, dec_steps: int,
     teacher_t = (jnp.swapaxes(teacher, 0, 1) if teacher is not None
                  else jnp.zeros((dec_steps, B), jnp.int32))
 
+    h_proj = att.precompute_hidden(params["attention"], enc_out)
+
     def step(carry, y_t):
         states, prev_emb, prev_align, key = carry
         logits, states, alphas = decode_step(
-            params, cfg, enc_out, enc_len, states, prev_emb, prev_align)
+            params, cfg, enc_out, enc_len, states, prev_emb, prev_align,
+            h_proj)
         key, k_coin, k_samp, k_drop, k_vn = jax.random.split(key, 5)
         if is_training:
             use_teacher = tf_rate > jax.random.uniform(k_coin, ())

@@ -45,10 +45,18 @@ def additive_init(key, h_dim: int, s_dim: int, att_size: int) -> Dict:
     }
 
 
-def additive_apply(p: Dict, hidden, state, align, seqlen):
+def precompute_hidden(p: Dict, hidden) -> jnp.ndarray:
+    """hidden @ W_h, shared by every decode step (the encoder output is
+    fixed during decoding, so this (B,T,H)@(H,A) matmul — the dominant
+    per-step attention cost — is hoisted out of the decoder scan)."""
+    return layers.dense_apply(p["w_h"], hidden)
+
+
+def additive_apply(p: Dict, hidden, state, align, seqlen, h_proj=None):
     """align unused, kept for interface parity (las/layers.py:234-241)."""
-    v = jnp.tanh(layers.dense_apply(p["w_h"], hidden)
-                 + layers.dense_apply(p["w_s"], state)[:, None, :])
+    if h_proj is None:
+        h_proj = precompute_hidden(p, hidden)
+    v = jnp.tanh(h_proj + layers.dense_apply(p["w_s"], state)[:, None, :])
     energy = jnp.einsum("bta,a->bt", v, p["u"])
     return masked_attend(hidden, energy, seqlen)
 
@@ -69,15 +77,17 @@ def location_init(key, h_dim: int, s_dim: int, att_size: int,
     }
 
 
-def location_apply(p: Dict, hidden, state, align, seqlen):
+def location_apply(p: Dict, hidden, state, align, seqlen, h_proj=None):
     """Location-aware attention (las/layers.py:281-309): eq (8)-(9) of
     Chorowski et al. with f from a SAME 1-D conv over the previous
     alignment."""
+    if h_proj is None:
+        h_proj = precompute_hidden(p, hidden)
     # conv1d over T: (B, T, 1) * (K, 1, C) -> (B, T, C)
     f = jax.lax.conv_general_dilated(
         align[..., None], p["conv_w"], window_strides=(1,), padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC")) + p["conv_b"]
-    v = jnp.tanh(layers.dense_apply(p["w_h"], hidden)
+    v = jnp.tanh(h_proj
                  + layers.dense_apply(p["w_s"], state)[:, None, :]
                  + layers.dense_apply(p["w_f"], f))
     energy = jnp.einsum("bta,a->bt", v, p["u"])
@@ -94,9 +104,10 @@ def attention_init(key, mode: str, h_dim: int, s_dim: int, att_size: int,
     raise NotImplementedError(f"attention mode {mode}")
 
 
-def attention_apply(p: Dict, mode: str, hidden, state, align, seqlen):
+def attention_apply(p: Dict, mode: str, hidden, state, align, seqlen,
+                    h_proj=None):
     if mode == "add":
-        return additive_apply(p, hidden, state, align, seqlen)
+        return additive_apply(p, hidden, state, align, seqlen, h_proj)
     if mode == "loc":
-        return location_apply(p, hidden, state, align, seqlen)
+        return location_apply(p, hidden, state, align, seqlen, h_proj)
     raise NotImplementedError(f"attention mode {mode}")

@@ -126,18 +126,26 @@ def gru_cell_apply(p: Dict, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
 
 def rnn_scan(p: Dict, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
              reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run a BasicRNN over time. xs: (B, T, D) -> (B, T, U), final h."""
+    """Run a BasicRNN over time. xs: (B, T, D) -> (B, T, U), final h.
+
+    TPU optimization: h' = tanh([x,h] @ W) == tanh(x @ W_x + h @ W_h + b),
+    so the input projection for ALL timesteps is hoisted out of the scan
+    into one large MXU matmul; the recurrence only carries the small
+    h @ W_h product.  Identical math, ~D/(D+U) of the FLOPs de-serialized.
+    """
     B = xs.shape[0]
     units = p["b"].shape[0]
+    in_dim = xs.shape[-1]
     if h0 is None:
         h0 = jnp.zeros((B, units), xs.dtype)
-    xs_t = jnp.swapaxes(xs, 0, 1)  # time-major for scan
+    w_x, w_h = p["w"][:in_dim], p["w"][in_dim:]
+    xw = jnp.swapaxes(xs, 0, 1) @ w_x + p["b"]  # (T, B, U), one big matmul
 
-    def step(h, x):
-        h = rnn_cell_apply(p, x, h)
+    def step(h, xw_t):
+        h = jnp.tanh(xw_t + h @ w_h)
         return h, h
 
-    hT, ys = jax.lax.scan(step, h0, xs_t, reverse=reverse)
+    hT, ys = jax.lax.scan(step, h0, xw, reverse=reverse)
     return jnp.swapaxes(ys, 0, 1), hT
 
 
@@ -149,29 +157,30 @@ def birnn_init(key, in_dim: int, units: int) -> Dict:
 
 def birnn_apply(p: Dict, xs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bidirectional vanilla RNN, fw+bw fused into one scan over a (2B)
-    stacked batch (single MXU matmul per step).
+    stacked batch, with the input projection for every timestep hoisted
+    into one large MXU matmul before the scan (see rnn_scan).
 
     Matches tf.nn.bidirectional_dynamic_rnn without sequence_length
     (las/layers.py:49-53): the backward pass runs over the full padded
     sequence reversed.  Returns (B, T, 2U) concat outputs and final states.
     """
-    B, T, _ = xs.shape
+    B, T, D = xs.shape
     units = p["fw"]["b"].shape[0]
-    xs_bw = jnp.flip(xs, axis=1)
-    stacked = jnp.concatenate([xs, xs_bw], axis=0)        # (2B, T, D)
-    w = jnp.stack([p["fw"]["w"], p["bw"]["w"]])           # (2, D+U, U)
-    b = jnp.stack([p["fw"]["b"], p["bw"]["b"]])
+    xs_t = jnp.swapaxes(xs, 0, 1)                         # (T, B, D)
+    w_h = jnp.stack([p["fw"]["w"][D:], p["bw"]["w"][D:]])            # (2,U,U)
 
-    xs_t = jnp.swapaxes(stacked, 0, 1)                    # (T, 2B, D)
+    # input projections for all timesteps, both directions: two big matmuls
+    xw_fw = xs_t @ p["fw"]["w"][:D] + p["fw"]["b"]        # (T, B, U)
+    xw_bw = jnp.flip(xs_t, axis=0) @ p["bw"]["w"][:D] + p["bw"]["b"]
+    xw = jnp.concatenate([xw_fw, xw_bw], axis=1)          # (T, 2B, U)
     h0 = jnp.zeros((2 * B, units), xs.dtype)
 
-    def step(h, x):
-        inp = jnp.concatenate([x, h], -1).reshape(2, B, -1)
-        h = jnp.tanh(jnp.einsum("dbi,diu->dbu", inp, w) + b[:, None, :])
-        h = h.reshape(2 * B, units)
+    def step(h, xw_t):
+        hh = jnp.einsum("dbu,duv->dbv", h.reshape(2, B, units), w_h)
+        h = jnp.tanh(xw_t + hh.reshape(2 * B, units))
         return h, h
 
-    hT, ys = jax.lax.scan(step, h0, xs_t)
+    hT, ys = jax.lax.scan(step, h0, xw)
     ys = jnp.swapaxes(ys, 0, 1)                           # (2B, T, U)
     out_fw, out_bw = ys[:B], jnp.flip(ys[B:], axis=1)
     return jnp.concatenate([out_fw, out_bw], -1), (hT[:B], hT[B:])
