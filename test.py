@@ -57,13 +57,19 @@ def main(argv=None):
              cfg.restore_epoch if cfg.restore_epoch >= 0
              else ckpt.latest_epoch(), int(ts.step))
 
+    batch_cap = max(cfg.bucket_batch_sizes)
     hyps, refs = [], []
     for batch in loader:
         audio, audiolen, ys, yslen = batch
+        real_b = audio.shape[0]
+        if real_b < batch_cap:  # pad partial batches to one static shape
+            pad = batch_cap - real_b
+            audio = np.pad(audio, ((0, pad),) + ((0, 0),) * (audio.ndim - 1))
+            audiolen = np.pad(audiolen, (0, pad), constant_values=1)
         dec_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
         _, y_hat = trainer.eval_forward(ts.params, ts.bn_state,
                                         audio, audiolen, cfg, dec_steps)
-        y_hat = np.asarray(jax.device_get(y_hat))
+        y_hat = np.asarray(jax.device_get(y_hat))[:real_b]
         for i in range(y_hat.shape[0]):
             hyps.append(convert_idx_to_string(y_hat[i],
                                               tokenizer.id_to_token, cfg.unit))
