@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 import logging
 import os
+import signal
 import sys
 import time
 
@@ -27,6 +28,8 @@ from automatic_speech_recognition_tpu.config import parse_args
 from automatic_speech_recognition_tpu.data.pipeline import (
     BucketedLoader, DevicePrefetcher)
 from automatic_speech_recognition_tpu.parallel.mesh import make_mesh
+from automatic_speech_recognition_tpu.parallel.distributed import (
+    maybe_initialize)
 from automatic_speech_recognition_tpu.training import trainer
 from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
 from automatic_speech_recognition_tpu.utils import summary as summary_lib
@@ -44,6 +47,7 @@ def setup_logging(verbose: int = 0):
 def main(argv=None):
     cfg = parse_args(argv)
     log = setup_logging(cfg.verbose)
+    maybe_initialize()  # multi-host TPU pods; no-op single process
 
     tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
     cfg = cfg.replace(vocab_size=tokenizer.get_vocab_size())
@@ -90,7 +94,27 @@ def main(argv=None):
     global_step = int(jax.device_get(ts.step))
     t_last, s_last = time.perf_counter(), global_step
 
+    # graceful preemption: SIGTERM/SIGINT save a checkpoint before exit
+    # (failure-recovery subsystem the reference lacks; SURVEY.md §5)
+    stop_requested = []
+
+    def _on_signal(signum, frame):
+        stop_requested.append(signum)
+        log.info("signal %d received; will checkpoint and stop", signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except ValueError:
+            pass  # non-main thread (e.g. under pytest workers)
+
     for batch in batches:
+        if stop_requested:
+            epoch = max(1, global_step // steps_per_epoch + 1)
+            ckpt.save(epoch, jax.device_get(ts))
+            log.info("preemption checkpoint saved at step %d (epoch slot %d)",
+                     global_step, epoch)
+            break
         if global_step >= total_steps:
             break
         with timers.stage("train_step"):
