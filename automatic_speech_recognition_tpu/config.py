@@ -141,6 +141,9 @@ class Config:
     num_mel_filters: int = 40             # speechpy mfcc default num_filters=40
     max_audio_seconds: float = 36.0       # frontend static padding bound
     prefetch_depth: int = 2               # host->device double buffering
+    # >1: stack K same-bucket batches and run K optimizer steps per
+    # dispatch (lax.scan) — amortizes dispatch/state-transfer overhead
+    steps_per_dispatch: int = 1
     seed: int = 0
     vocab_size: int = 0                   # filled from tokenizer at runtime
     steps_per_epoch: int = 0              # 0 = derive from dataset size

@@ -45,15 +45,17 @@ def maybe_initialize() -> bool:
             log.info("jax.distributed: process %s/%s via %s",
                      proc_id, num_procs, coord)
             return True
-        if os.environ.get("TPU_WORKER_HOSTNAMES") or \
-                os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if "," in hosts or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+            # only when the TPU metadata names MULTIPLE workers
             jax.distributed.initialize()  # TPU metadata autodetection
             _initialized = True
             log.info("jax.distributed: auto-initialized, %d processes",
                      jax.process_count())
             return True
-    except RuntimeError as e:
-        # backend already up (tests, notebooks) or re-init: stay local
+    except (RuntimeError, ValueError) as e:
+        # backend already up (tests, notebooks), re-init, or incomplete
+        # pod metadata: stay single-process
         log.warning("jax.distributed not initialized: %s", e)
     return False
 

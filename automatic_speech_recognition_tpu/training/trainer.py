@@ -71,6 +71,32 @@ def train_step(ts: TrainState, batch, cfg: Config, dec_steps: int):
     return new_ts, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "dec_steps"),
+                   donate_argnames=("ts",))
+def train_multi_step(ts: TrainState, batches, cfg: Config, dec_steps: int):
+    """Run K optimization steps in ONE dispatch via lax.scan.
+
+    batches: pytree of arrays with a leading (K, ...) axis (K stacked
+    batches of one bucket shape).  Amortizes per-dispatch overhead — on
+    tunneled dev platforms the host round-trips the TrainState between
+    chained dispatches (measured 2.3 s/step vs 15 ms of real compute), and
+    on any platform it removes K-1 dispatches.  Returns the final state
+    and per-step losses.
+    """
+    def one(ts, batch):
+        rng, step_rng = jax.random.split(ts.rng)
+        grad_fn = jax.value_and_grad(las.total_loss, has_aux=True)
+        (loss, (_, _, new_bn)), grads = grad_fn(
+            ts.params, ts.bn_state, batch, cfg, dec_steps, step_rng, ts.step)
+        tx = make_optimizer(cfg)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        return TrainState(new_params, new_bn, new_opt, ts.step + 1, rng), loss
+
+    ts, losses = jax.lax.scan(one, ts, batches)
+    return ts, losses
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "dec_steps"))
 def eval_forward(params, bn_state, audio, audiolen, cfg: Config,
                  dec_steps: int):

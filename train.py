@@ -108,6 +108,28 @@ def main(argv=None):
         except ValueError:
             pass  # non-main thread (e.g. under pytest workers)
 
+    # steps_per_dispatch > 1: stack same-bucket batches and scan K steps in
+    # one dispatch (see trainer.train_multi_step)
+    pending = {}
+
+    def dispatch(batch):
+        nonlocal ts
+        if cfg.steps_per_dispatch <= 1:
+            ts, metrics = step_fn(ts, batch)
+            return 1, metrics
+        key = tuple(np.asarray(x).shape for x in batch)
+        pending.setdefault(key, []).append(batch)
+        if len(pending[key]) < cfg.steps_per_dispatch:
+            return 0, None
+        group = pending.pop(key)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *[tuple(b) for b in group])
+        ts, losses = trainer.train_multi_step(
+            ts, stacked, cfg, int(group[0][2].shape[1]))
+        return len(group), {"loss": losses[-1], "lr": np.nan,
+                            "tf_rate": np.nan, "grad_norm": np.nan,
+                            "sample_ids": None, "sample_alphas": None}
+
     for batch in batches:
         if stop_requested:
             epoch = max(1, global_step // steps_per_epoch + 1)
@@ -118,9 +140,11 @@ def main(argv=None):
         if global_step >= total_steps:
             break
         with timers.stage("train_step"):
-            ts, metrics = step_fn(ts, batch)
-        global_step += 1
-        if global_step % 10 == 0 or global_step == 1:
+            n_done, metrics = dispatch(batch)
+        if n_done == 0:
+            continue
+        global_step += n_done
+        if global_step % 10 < n_done or global_step <= n_done:
             m = jax.device_get(metrics)
             now = time.perf_counter()
             sps = (global_step - s_last) / max(now - t_last, 1e-9)
@@ -129,10 +153,12 @@ def main(argv=None):
                      "(%.2f steps/s)", global_step, total_steps,
                      m["loss"], m["lr"], m["tf_rate"], m["grad_norm"], sps)
             writer.scalar("train/loss", m["loss"], global_step)
-            writer.scalar("train/lr", m["lr"], global_step)
-            writer.scalar("train/tf_rate", m["tf_rate"], global_step)
             writer.scalar("train/steps_per_sec", sps, global_step)
-            if cfg.verbose:  # HYP/REF pairs (reference: train.py:119-124)
+            if not np.isnan(m["lr"]):
+                writer.scalar("train/lr", m["lr"], global_step)
+                writer.scalar("train/tf_rate", m["tf_rate"], global_step)
+            if cfg.verbose and m.get("sample_ids") is not None:
+                # HYP/REF pairs (reference: train.py:119-124)
                 hyp = convert_idx_to_string(m["sample_ids"],
                                             tokenizer.id_to_token, cfg.unit)
                 writer.text("train/hyp", hyp, global_step)
