@@ -51,6 +51,8 @@ def bench_cpu(audio):
 
 
 def bench_device(audio):
+    """Timing forces completion with a data-dependent scalar device_get —
+    block_until_ready can return early on tunneled TPU platforms."""
     audiolen = jnp.full((audio.shape[0],), audio.shape[1], jnp.int32)
     x = jnp.asarray(audio)
 
@@ -60,11 +62,15 @@ def bench_device(audio):
             feat_type="mfcc", apply_cmvn=True)
         return f
 
-    run().block_until_ready()  # compile
+    def loop(n):
+        acc = 0.0
+        for _ in range(n):
+            acc = acc + run()[0, 0, 0, 0]
+        return float(jax.device_get(acc))
+
+    loop(2)  # compile the kernel AND the timing glue ops
     t0 = time.perf_counter()
-    for _ in range(DEVICE_ITERS):
-        out = run()
-    out.block_until_ready()
+    loop(DEVICE_ITERS)
     dt = time.perf_counter() - t0
     return DEVICE_ITERS * audio.shape[0] / dt
 
