@@ -127,6 +127,9 @@ class Config:
     # LM fusion state dims come from the LM manifest, not hardcoded
     # (reference hardcodes 512/4 at beam_search.py:112)
     lm_dir: str = "lang/output/"
+    # beam decode batching (decode.py); promoted rather than hardcoded
+    decode_batch: int = 8
+    decode_pad_quantum: int = 128         # frames; padded shapes quantize
 
     # ---- TPU-native knobs (no reference equivalent) ----
     dtype: str = "float32"                # compute dtype: 'float32' | 'bfloat16'

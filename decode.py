@@ -38,17 +38,14 @@ logging.basicConfig(stream=sys.stdout, level=logging.INFO,
                     format="%(asctime)s [%(levelname)s] %(message)s")
 log = logging.getLogger("decode")
 
-DECODE_BATCH = 8
-PAD_QUANTUM = 128  # frames; padded batch shapes quantize to this
 
-
-def batch_iter(feats, tokens, batch):
+def batch_iter(feats, tokens, batch, pad_quantum=128):
     order = np.argsort([len(t) for t in tokens])  # decode.py:122-124
     for lo in range(0, len(order), batch):
         idx = order[lo:lo + batch]
         group = [np.asarray(feats[i], np.float32) for i in idx]
         lens = np.asarray([len(g) for g in group], np.int32)
-        T = int(-(-int(lens.max()) // PAD_QUANTUM) * PAD_QUANTUM)
+        T = int(-(-int(lens.max()) // pad_quantum) * pad_quantum)
         D, C = group[0].shape[1], group[0].shape[2]
         audio = np.zeros((len(group), T, D, C), np.float32)
         for r, g in enumerate(group):
@@ -90,7 +87,8 @@ def main(argv=None):
 
     error, N, count = 0.0, 0, 0
     hyps, refs = [], []
-    for audio, lens, ys in batch_iter(feats, tokens, DECODE_BATCH):
+    for audio, lens, ys in batch_iter(feats, tokens, cfg.decode_batch,
+                                      cfg.decode_pad_quantum):
         max_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
         res = beam_lib.beam_search(
             ts.params, ts.bn_state, audio, lens, cfg,
