@@ -147,6 +147,9 @@ class Config:
     # >1: stack K same-bucket batches and run K optimizer steps per
     # dispatch (lax.scan) — amortizes dispatch/state-transfer overhead
     steps_per_dispatch: int = 1
+    # non-empty: capture a jax.profiler trace of training steps 10-20
+    # into this directory (tracing subsystem; reference has none)
+    profile_dir: str = ""
     seed: int = 0
     vocab_size: int = 0                   # filled from tokenizer at runtime
     steps_per_epoch: int = 0              # 0 = derive from dataset size

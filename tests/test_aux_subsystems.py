@@ -1,0 +1,82 @@
+"""Auxiliary subsystems: summary writer, stage timers, augmentation math,
+config round trips, and the profiler hook in train.py."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from automatic_speech_recognition_tpu.config import Config, parse_args
+from automatic_speech_recognition_tpu.ops import augmentation
+from automatic_speech_recognition_tpu.utils import summary as summary_lib
+
+
+def test_summary_writer_events(tmp_path):
+    w = summary_lib.SummaryWriter(str(tmp_path))
+    w.scalar("loss", 1.5, 10)
+    w.text("hyp", "HELLO", 10)
+    w.image("alphas", np.random.rand(8, 16).astype(np.float32), 10)
+    w.close()
+    lines = [json.loads(l) for l in
+             open(tmp_path / "events.jsonl").read().splitlines()]
+    kinds = [l["kind"] for l in lines]
+    assert kinds == ["scalar", "text", "image"]
+    assert lines[0]["value"] == 1.5
+    img = lines[2]["file"]
+    assert os.path.exists(img) and open(img, "rb").read(2) == b"P5"
+    assert os.path.exists(img.replace(".pgm", ".npy"))
+
+
+def test_stage_timer():
+    t = summary_lib.StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    rep = t.report()
+    assert rep["a"]["calls"] == 2
+    assert t.rate("a", 10) > 0
+
+
+def test_speed_perturb_lengths_and_identity(rng):
+    sig = rng.standard_normal(16000).astype(np.float32)
+    # speed 1.0 is the identity
+    np.testing.assert_allclose(augmentation.speed_perturb(sig, 1.0), sig,
+                               atol=1e-6)
+    fast = augmentation.speed_perturb(sig, 1.1)
+    slow = augmentation.speed_perturb(sig, 0.9)
+    assert len(fast) == int(16000 / 1.1)
+    assert len(slow) == int(16000 / 0.9)
+    # a pure tone stays a tone at the scaled frequency (coarse check):
+    t = np.arange(16000) / 16000.0
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    fast_tone = augmentation.speed_perturb(tone, 1.1)
+    zc = np.mean(np.abs(np.diff(np.signbit(fast_tone).astype(int))))
+    zc_orig = np.mean(np.abs(np.diff(np.signbit(tone).astype(int))))
+    assert zc == pytest.approx(zc_orig * 1.1, rel=0.02)
+
+
+def test_volume_perturb_clips(rng):
+    sig = np.linspace(-1, 1, 100).astype(np.float32)
+    v = augmentation.volume_perturb(sig, 1.5)
+    assert v.max() <= 1.0 and v.min() >= -1.0
+    np.testing.assert_allclose(augmentation.volume_perturb(sig, 0.5),
+                               sig * 0.5)
+
+
+def test_config_json_roundtrip():
+    cfg = Config(enc_units=123, mode="loc", dtype="bfloat16",
+                 bucket_batch_sizes=(4, 4))
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_parse_args_reference_flags():
+    cfg = parse_args(["--unit", "char", "--feat_dim", "13", "-bs", "96",
+                      "--mode", "loc", "--scheduled_sampling", "False",
+                      "--bucket_batch_sizes", "8,4,4"])
+    assert cfg.unit == "char" and cfg.feat_dim == 13
+    assert cfg.batch_size == 96 and cfg.mode == "loc"
+    assert cfg.scheduled_sampling is False
+    assert cfg.bucket_batch_sizes == (8, 4, 4)

@@ -108,6 +108,7 @@ def main(argv=None):
         except ValueError:
             pass  # non-main thread (e.g. under pytest workers)
 
+    profiling, profile_done = False, False
     # steps_per_dispatch > 1: stack same-bucket batches and scan K steps in
     # one dispatch (see trainer.train_multi_step)
     pending = {}
@@ -139,11 +140,19 @@ def main(argv=None):
             break
         if global_step >= total_steps:
             break
+        if cfg.profile_dir and not profiling and not profile_done \
+                and global_step >= 10:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
         with timers.stage("train_step"):
             n_done, metrics = dispatch(batch)
         if n_done == 0:
             continue
         global_step += n_done
+        if profiling and global_step >= 20:
+            jax.profiler.stop_trace()
+            profiling, profile_done = False, True
+            log.info("profiler trace written to %s", cfg.profile_dir)
         if global_step % 10 < n_done or global_step <= n_done:
             m = jax.device_get(metrics)
             now = time.perf_counter()
