@@ -86,3 +86,23 @@ def test_variational_noise_and_ctc(rng):
     batch = make_batch(rng)
     _, losses = _steps(cfg, batch)
     assert all(np.isfinite(losses))
+
+
+def test_pblstm_encoder_trains(rng):
+    """The working pyramidal variant (the reference's is broken as shipped,
+    las/las.py:15 vs las/layers.py:56)."""
+    cfg = Config(**{**BASE, "enc_type": "pblstm", "num_enc_layers": 2})
+    batch = make_batch(rng)
+    _, losses = _steps(cfg, batch, n=4)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_location_attention_trains(rng):
+    """Published-recipe attention mode (run.sh --mode loc)."""
+    cfg = Config(**{**BASE, "mode": "loc", "loc_kernel_size": 7,
+                    "loc_num_channels": 3})
+    batch = make_batch(rng)
+    _, losses = _steps(cfg, batch, n=4)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -64,6 +64,13 @@ def main(argv=None):
     steps_per_epoch = cfg.steps_per_epoch or cfg.num_train_batches
     mesh = make_mesh(num_partitions=cfg.num_partitions,
                      data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+    dp = mesh.shape[cfg.data_axis]
+    bad = [b for b in cfg.bucket_batch_sizes if b % dp]
+    if bad:
+        raise ValueError(
+            f"bucket_batch_sizes {bad} not divisible by the data-parallel "
+            f"mesh axis ({dp} devices); adjust --bucket_batch_sizes or "
+            f"--num_partitions")
     log.info("mesh: %s over %d devices (%s)", dict(mesh.shape),
              mesh.size, jax.devices()[0].platform)
 
