@@ -130,6 +130,9 @@ class Config:
     # beam decode batching (decode.py); promoted rather than hardcoded
     decode_batch: int = 8
     decode_pad_quantum: int = 128         # frames; padded shapes quantize
+    # compat switch: False = accumulate RAW decoder logits like the
+    # reference (las/beam_search.py:123-124); True = proper log-softmax
+    beam_logprob: bool = False
 
     # ---- TPU-native knobs (no reference equivalent) ----
     dtype: str = "float32"                # compute dtype: 'float32' | 'bfloat16'

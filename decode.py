@@ -65,6 +65,12 @@ def main(argv=None):
         from sample_lm import load_lm
         lm_params, lm_cfg, _, _ = load_lm(cfg.lm_dir)
         log.info("RNNLM restored from %s", cfg.lm_dir)
+        if cfg.unit != "char":
+            # the -2 id shift maps CHAR ids onto the LM's 28-token vocab
+            # (beam_search.py:228-229); with subword units the mapping is
+            # meaningless — mirrored from the reference, but warned about
+            log.warning("LM fusion assumes char units; unit=%s will fuse "
+                        "garbage scores", cfg.unit)
 
     feats = load_cat_feats(cfg.feat_dir, cfg.split)
     tokens = list(np.load(
@@ -93,7 +99,7 @@ def main(argv=None):
         res = beam_lib.beam_search(
             ts.params, ts.bn_state, audio, lens, cfg,
             max_steps=max_steps, beam_size=cfg.beam_size,
-            lm_params=lm_params, lm_cfg=lm_cfg)
+            logprob=cfg.beam_logprob, lm_params=lm_params, lm_cfg=lm_cfg)
         toks = np.asarray(res.tokens)
         tlen = np.asarray(res.lengths)
         for b in range(audio.shape[0]):

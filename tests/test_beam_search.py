@@ -26,7 +26,7 @@ CFG = Config(unit="char", vocab_size=12, feat_dim=8, enc_type="cnn",
 
 def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
                         beam_size, lm_params=None, lm_cfg=None,
-                        lm_weight=0.5):
+                        lm_weight=0.5, logprob=False):
     """Reference algorithm, host loop (las/beam_search.py:61-158)."""
     K, V = beam_size, cfg.vocab_size
     T = enc_out.shape[0]
@@ -55,6 +55,10 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
             lm_logits, lm_new = char_rnn.lm_step(lm_params, lm_cfg,
                                                  prev_ids - 2, lm_sts)
             logits[:, 2:] += lm_weight * np.asarray(lm_logits)
+        if logprob:
+            logits = logits - np.log(np.sum(np.exp(
+                logits - logits.max(-1, keepdims=True)), -1,
+                keepdims=True)) - logits.max(-1, keepdims=True)
         new_states = np.asarray(new_states)
         alphas = np.asarray(alphas)
         bank = []
@@ -115,6 +119,27 @@ def test_matches_host_reference(beam_size):
             beam_size)
         got = np.asarray(res.tokens[b, 0])[:int(res.lengths[b, 0])]
         assert list(got) == ids, (list(got), ids)
+        np.testing.assert_allclose(float(res.scores[b, 0]), score,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_logprob_mode_matches_host_reference():
+    """Compat switch beam_logprob=True: proper log-softmax scoring."""
+    params, bn_state, audio, audiolen = _setup(seed=11)
+    max_steps, K = 7, 3
+    res = beam_lib.beam_search(params, bn_state, audio, audiolen, CFG,
+                               max_steps=max_steps, beam_size=K,
+                               logprob=True)
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn_state["listener"], audio, audiolen, CFG,
+        is_training=False)
+    for b in range(audio.shape[0]):
+        dec_step = min(max(int(audiolen[b] * CFG.convert_rate), 1), max_steps)
+        ids, score = host_reference_beam(
+            params["speller"], CFG, enc_out[b], enc_len[b], dec_step, K,
+            logprob=True)
+        got = np.asarray(res.tokens[b, 0])[:int(res.lengths[b, 0])]
+        assert list(got) == ids
         np.testing.assert_allclose(float(res.scores[b, 0]), score,
                                    rtol=1e-4, atol=1e-5)
 
