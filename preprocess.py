@@ -78,14 +78,19 @@ def _object_array(items):
     return arr
 
 
-def load_signals(audio_path, sample_rate):
-    signals = []
-    for p in audio_path:
+def load_signals(audio_path, sample_rate, num_workers: int = 8):
+    """Decode audio files on the host with a thread pool (the native FLAC
+    decoder releases the GIL during ctypes calls, so threads scale)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(p):
         sig, sr = read_audio(p)
         if sr != sample_rate:
             raise ValueError(f"{p}: sample rate {sr} != {sample_rate}")
-        signals.append(np.asarray(sig, np.float32))
-    return signals
+        return np.asarray(sig, np.float32)
+
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        return list(ex.map(one, audio_path))
 
 
 def process_audios(signals, cfg):
