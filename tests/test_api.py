@@ -1,0 +1,47 @@
+"""High-level Recognizer API: checkpoint -> transcribe files (greedy and
+beam), order preservation across length-sorted batching."""
+
+import os
+
+import jax
+import numpy as np
+
+from automatic_speech_recognition_tpu.api import Recognizer
+from automatic_speech_recognition_tpu.config import Config
+from automatic_speech_recognition_tpu.data.audio_io import write_wav
+from automatic_speech_recognition_tpu.training import trainer
+from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
+
+CFG = Config(unit="char", feat_dim=13, enc_type="cnn", enc_units=16,
+             num_enc_channels=4, num_enc_layers=1, dec_units=16,
+             num_dec_layers=1, embedding_size=8, attention_size=8,
+             mode="add", dropout_rate=0.0, scheduled_sampling=False,
+             convert_rate=0.05)
+
+
+def test_recognizer_transcribe(tmp_path, rng):
+    cfg = CFG.replace(vocab_size=30)
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    CheckpointManager(str(tmp_path / "model")).save(1, jax.device_get(ts))
+
+    paths = []
+    for i, sec in enumerate((0.4, 1.1, 0.7)):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, rng.standard_normal(int(16000 * sec)) * 0.1, 16000)
+        paths.append(p)
+
+    rec = Recognizer.from_checkpoint(str(tmp_path / "model"), CFG)
+    greedy = rec.transcribe(paths, beam_size=0, batch_size=2)
+    assert len(greedy) == 3 and all(isinstance(t, str) for t in greedy)
+    beam = rec.transcribe(paths, beam_size=3, batch_size=2)
+    assert len(beam) == 3 and all(isinstance(t, str) for t in beam)
+
+    # order preservation: per-file results identical regardless of batching
+    singles = [rec.transcribe([p], beam_size=3)[0] for p in paths]
+    assert beam == singles
+
+
+def test_recognizer_missing_checkpoint(tmp_path):
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        Recognizer.from_checkpoint(str(tmp_path / "nope"), CFG)
