@@ -100,22 +100,32 @@ def process_audios(signals, cfg):
     return _object_array(feats), featlen
 
 
-def save_feats(cfg, cat, signals):
+def save_feats(cfg, cat, audio_path, transform=None):
     """Shard big sets like the reference (>30k utts, preprocess.py:17,
-    :112-125)."""
+    :112-125).  Audio is decoded per shard part, so peak host memory is
+    bounded by sample_threshold utterances regardless of corpus size
+    (the reference likewise featurizes from paths chunk by chunk).
+    transform: optional per-signal fn (speed augmentation)."""
     thr = cfg.sample_threshold
-    if len(signals) > thr:
-        k = max(len(signals) // thr, 1)
-        n = len(signals) // k + 1
+
+    def featurize(paths):
+        signals = load_signals(paths, cfg.sample_rate)
+        if transform is not None:
+            signals = [transform(s) for s in signals]
+        return process_audios(signals, cfg)
+
+    if len(audio_path) > thr:
+        k = max(len(audio_path) // thr, 1)
+        n = len(audio_path) // k + 1
         featlen_all = []
         for i in range(k):
-            feats, featlen = process_audios(signals[i * n:(i + 1) * n], cfg)
+            feats, featlen = featurize(audio_path[i * n:(i + 1) * n])
             featlen_all.extend(featlen.tolist())
             np.save(os.path.join(cfg.feat_dir, f"{cat}-feats-{i}.npy"),
                     feats, allow_pickle=True)
         featlen = np.asarray(featlen_all, np.int32)
     else:
-        feats, featlen = process_audios(signals, cfg)
+        feats, featlen = featurize(audio_path)
         np.save(os.path.join(cfg.feat_dir, f"{cat}-feats.npy"),
                 feats, allow_pickle=True)
     np.save(os.path.join(cfg.feat_dir, f"{cat}-featlen.npy"), featlen)
@@ -139,13 +149,13 @@ def main_libri(cfg, tokenizer):
                 tokens, allow_pickle=True)
         np.save(os.path.join(cfg.feat_dir, f"{cat}-{cfg.unit}len.npy"),
                 tokenlen)
-        signals = load_signals(audio_path, cfg.sample_rate)
-        save_feats(cfg, cat, signals)
+        save_feats(cfg, cat, audio_path)
         if cfg.augmentation and "train" in cat:
             for s in augmentation.SPEED_LIST:
                 log.info("speed augmentation x%.1f for %s", s, cat)
-                aug = augmentation.speed_augment_all(signals, s)
-                save_feats(cfg, f"speed_{s}", aug)
+                save_feats(cfg, f"speed_{s}", audio_path,
+                           transform=lambda sig, sp=s:
+                           augmentation.speed_perturb(sig, sp))
                 np.save(os.path.join(cfg.feat_dir,
                                      f"speed_{s}-{cfg.unit}s.npy"),
                         tokens, allow_pickle=True)
