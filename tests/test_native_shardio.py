@@ -59,6 +59,19 @@ def test_read_into_clips(shard_file):
     np.testing.assert_array_equal(tok_row[:L], tokens[3][:L])
 
 
+def test_corrupt_shard_rejected(tmp_path):
+    bad = tmp_path / "bad-1.arsh"
+    bad.write_bytes(b"NOPE" + b"\x00" * 100)
+    with pytest.raises(ValueError):
+        shards_native.NativeShardReader(str(bad))
+    with pytest.raises(ValueError):
+        shards.ShardReader(str(bad))
+    truncated = tmp_path / "trunc-1.arsh"
+    truncated.write_bytes(b"ARSH" + b"\x00" * 8)  # shorter than header
+    with pytest.raises(ValueError):
+        shards_native.NativeShardReader(str(truncated))
+
+
 def test_loader_backend_parity(shard_file):
     path, _, _ = shard_file
     cfg = Config(bucket_boundaries_train=(40, 80), bucket_boundaries_eval=(40, 80),
