@@ -150,6 +150,9 @@ class Config:
     # >1: stack K same-bucket batches and run K optimizer steps per
     # dispatch (lax.scan) — amortizes dispatch/state-transfer overhead
     steps_per_dispatch: int = 1
+    # >1: accumulate gradients over N micro-batches before each Adam
+    # update (optax.MultiSteps) — large effective batches without memory
+    grad_accum_steps: int = 1
     # non-empty: capture a jax.profiler trace of training steps 10-20
     # into this directory (tracing subsystem; reference has none)
     profile_dir: str = ""

@@ -32,7 +32,10 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     schedule = lambda step: las.scheduled_learning_rate(cfg, step)
     tx = [optax.clip_by_global_norm(cfg.grad_clip)] if cfg.grad_clip > 0 else []
     tx.append(optax.adam(schedule))
-    return optax.chain(*tx)
+    opt = optax.chain(*tx)
+    if cfg.grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
+    return opt
 
 
 def create_train_state(key, cfg: Config) -> TrainState:

@@ -88,6 +88,21 @@ def test_variational_noise_and_ctc(rng):
     assert all(np.isfinite(losses))
 
 
+def test_grad_accumulation(rng):
+    """grad_accum_steps=2: params move only every 2nd micro-batch, and the
+    move equals one step on the averaged gradients."""
+    cfg = Config(**{**BASE, "grad_accum_steps": 2})
+    batch = make_batch(rng)
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    p0 = np.asarray(jax.tree_util.tree_leaves(ts.params)[0])
+    ts, _ = trainer.train_step(ts, batch, cfg, dec_steps=8)
+    p1 = np.asarray(jax.tree_util.tree_leaves(ts.params)[0])  # copy now:
+    ts, _ = trainer.train_step(ts, batch, cfg, dec_steps=8)   # (donation)
+    p2 = np.asarray(jax.tree_util.tree_leaves(ts.params)[0])
+    np.testing.assert_array_equal(p0, p1)   # held during accumulation
+    assert not np.allclose(p1, p2)          # applied on the 2nd micro-batch
+
+
 def test_pblstm_encoder_trains(rng):
     """The working pyramidal variant (the reference's is broken as shipped,
     las/las.py:15 vs las/layers.py:56)."""
