@@ -252,16 +252,29 @@ def speller_apply(params, cfg: Config, enc_out, enc_len, dec_steps: int,
 
     h_proj = att.precompute_hidden(params["attention"], enc_out)
 
+    # static knowledge of which RNG consumers exist keeps the scan body
+    # free of unused threefry calls (pure teacher forcing needs none)
+    sampling = is_training and not (isinstance(tf_rate, float)
+                                    and tf_rate >= 1.0)
+    needs_rng = is_training and (sampling or cfg.dropout_rate > 0
+                                 or cfg.add_vn)
+
     def step(carry, y_t):
         states, prev_emb, prev_align, key = carry
         logits, states, alphas = decode_step(
             params, cfg, enc_out, enc_len, states, prev_emb, prev_align,
             h_proj)
-        key, k_coin, k_samp, k_drop, k_vn = jax.random.split(key, 5)
+        if needs_rng:
+            key, k_coin, k_samp, k_drop, k_vn = jax.random.split(key, 5)
+        else:
+            k_coin = k_samp = k_drop = k_vn = None
         if is_training:
-            use_teacher = tf_rate > jax.random.uniform(k_coin, ())
-            sampled = jax.random.categorical(k_samp, logits, axis=-1)
-            ids = jnp.where(use_teacher, y_t, sampled)
+            if sampling:
+                use_teacher = tf_rate > jax.random.uniform(k_coin, ())
+                sampled = jax.random.categorical(k_samp, logits, axis=-1)
+                ids = jnp.where(use_teacher, y_t, sampled)
+            else:  # scheduled sampling off: always teacher-force
+                ids = y_t
             emb, _ = lookup(ids, k_vn)
             emb = L.dropout(k_drop, emb, cfg.dropout_rate, is_training)
         else:
