@@ -37,24 +37,6 @@ def bucket_of(featlen: int, boundaries: Sequence[int]) -> Optional[int]:
     return None
 
 
-def _pad_batch(feats: List[np.ndarray], tokens: List[np.ndarray],
-               pad_frames: int, pad_tokens: int) -> Batch:
-    B = len(feats)
-    D, C = feats[0].shape[1], feats[0].shape[2]
-    audio = np.zeros((B, pad_frames, D, C), np.float32)
-    audiolen = np.zeros((B,), np.int32)
-    toks = np.zeros((B, pad_tokens), np.int32)
-    toklen = np.zeros((B,), np.int32)
-    for i, (f, t) in enumerate(zip(feats, tokens)):
-        T = min(len(f), pad_frames)
-        L = min(len(t), pad_tokens)
-        audio[i, :T] = f[:T]
-        audiolen[i] = T
-        toks[i, :L] = t[:L]
-        toklen[i] = L
-    return Batch((audio, audiolen, toks, toklen))
-
-
 class BucketedLoader:
     """Iterate bucketed batches from ARSH shards.
 

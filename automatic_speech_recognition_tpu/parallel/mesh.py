@@ -43,28 +43,3 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
-
-
-def shard_batch(mesh: Mesh, batch, data_axis: str = "data"):
-    """Place a host batch onto the mesh, sharded along the leading dim."""
-    sh = batch_sharding(mesh, data_axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
-
-
-def replicate(mesh: Mesh, tree):
-    sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
-
-
-def pad_batch_to_devices(batch, n: int):
-    """Round the batch dim up to a multiple of n (device count) by repeating
-    the last element; returns (padded_batch, real_batch_size)."""
-    def pad(x):
-        b = x.shape[0]
-        rem = (-b) % n
-        if rem == 0:
-            return x
-        fill = np.repeat(x[-1:], rem, axis=0)
-        return np.concatenate([x, fill], axis=0)
-    b0 = jax.tree_util.tree_leaves(batch)[0].shape[0]
-    return jax.tree_util.tree_map(pad, batch), b0
