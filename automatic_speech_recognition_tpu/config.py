@@ -153,6 +153,10 @@ class Config:
     # >1: accumulate gradients over N micro-batches before each Adam
     # update (optax.MultiSteps) — large effective batches without memory
     grad_accum_steps: int = 1
+    # rematerialize scan bodies in the backward pass (jax.checkpoint):
+    # trades ~2x decoder FLOPs for O(T) less activation memory — for the
+    # long buckets (1710 frames) at full model size
+    remat: bool = False
     # non-empty: capture a jax.profiler trace of training steps 10-20
     # into this directory (tracing subsystem; reference has none)
     profile_dir: str = ""

@@ -281,7 +281,8 @@ def speller_apply(params, cfg: Config, enc_out, enc_len, dec_steps: int,
             emb, _ = lookup(jnp.argmax(logits, -1), k_vn)
         return (states, emb, alphas, key), (logits, alphas)
 
-    _, (logits, alphas) = jax.lax.scan(step, init, teacher_t, length=dec_steps)
+    body = jax.checkpoint(step) if cfg.remat else step
+    _, (logits, alphas) = jax.lax.scan(body, init, teacher_t, length=dec_steps)
     return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(alphas, 0, 1)
 
 

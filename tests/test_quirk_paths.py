@@ -103,6 +103,27 @@ def test_grad_accumulation(rng):
     assert not np.allclose(p1, p2)          # applied on the 2nd micro-batch
 
 
+def test_remat_matches_plain_gradients(rng):
+    """jax.checkpoint on the decoder scan body must not change gradients."""
+    import jax.numpy as jnp
+    from automatic_speech_recognition_tpu.models import las
+    batch = make_batch(rng)
+    grads = {}
+    for remat in (False, True):
+        cfg = Config(**{**BASE, "remat": remat})
+        params, bn = las.las_init(jax.random.PRNGKey(0), cfg)
+
+        def lf(p):
+            l, _ = las.total_loss(p, bn, batch, cfg, 8,
+                                  jax.random.PRNGKey(0), 0)
+            return l
+        grads[remat] = jax.grad(lf)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(grads[False]),
+                    jax.tree_util.tree_leaves(grads[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_pblstm_encoder_trains(rng):
     """The working pyramidal variant (the reference's is broken as shipped,
     las/las.py:15 vs las/layers.py:56)."""
