@@ -1,0 +1,72 @@
+"""CTC greedy decoding: collapse/deblank semantics against a NumPy oracle,
+and learnability of the CTC head on a separable toy problem."""
+
+import jax
+import numpy as np
+
+from automatic_speech_recognition_tpu.config import Config
+from automatic_speech_recognition_tpu.decoding.ctc import ctc_greedy_decode
+from automatic_speech_recognition_tpu.models import las
+from automatic_speech_recognition_tpu.training import trainer
+
+CFG = Config(unit="char", vocab_size=8, feat_dim=8, enc_type="cnn",
+             enc_units=16, num_enc_channels=4, num_enc_layers=1,
+             dec_units=16, num_dec_layers=1, embedding_size=8,
+             attention_size=8, mode="add", dropout_rate=0.0,
+             scheduled_sampling=False, ctc=True, ctc_weight=0.5,
+             label_smoothing=False, lr=5e-3)
+
+
+def oracle(path, blank, n):
+    out, prev = [], blank
+    for p in path[:n]:
+        if p != blank and p != prev:
+            out.append(int(p))
+        prev = p
+    return out
+
+
+def test_collapse_matches_oracle(rng):
+    params, bn = las.las_init(jax.random.PRNGKey(0), CFG)
+    audio = rng.standard_normal((3, 32, 8, 3)).astype(np.float32)
+    audiolen = np.asarray([32, 20, 8], np.int32)
+    toks, lens = ctc_greedy_decode(params, bn, audio, audiolen, CFG)
+    # recompute the argmax path to feed the oracle
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn["listener"], audio, audiolen, CFG,
+        is_training=False)
+    from automatic_speech_recognition_tpu.ops import layers as L
+    logits = L.dense_apply(params["speller"]["ctc_head"], enc_out)
+    path = np.argmax(np.asarray(logits), -1)
+    for b in range(3):
+        want = oracle(path[b], CFG.vocab_size, int(enc_len[b]))
+        got = list(np.asarray(toks[b])[:int(lens[b])])
+        assert got == want, (b, got, want)
+
+
+def test_ctc_head_learns_separable_problem(rng):
+    """Frames colored by class; CTC must recover the symbol sequence."""
+    B, T, L = 8, 32, 4
+    ys = rng.integers(3, 7, (B, L)).astype(np.int32)
+    audio = np.zeros((B, T, 8, 3), np.float32)
+    seg = T // L
+    for b in range(B):
+        for i in range(L):
+            audio[b, i * seg:(i + 1) * seg, ys[b, i] % 8, 0] = 3.0
+    audiolen = np.full((B,), T, np.int32)
+    ys_pad = np.zeros((B, L + 1), np.int32)
+    ys_pad[:, :L] = ys
+    ys_pad[:, L] = 2  # <EOS>
+    batch = (audio, audiolen, ys_pad, np.full((B,), L + 1, np.int32))
+    ts = trainer.create_train_state(jax.random.PRNGKey(1), CFG)
+    for _ in range(150):
+        ts, m = trainer.train_step(ts, batch, CFG, dec_steps=L + 1)
+    toks, lens = ctc_greedy_decode(ts.params, ts.bn_state, audio, audiolen,
+                                   CFG)
+    errors = 0
+    for b in range(B):
+        got = list(np.asarray(toks[b])[:int(lens[b])])
+        want = [t for t in ys[b]]  # without EOS
+        if got[:L] != want:
+            errors += 1
+    assert errors <= 2, (errors, np.asarray(toks)[:3], ys[:3])
