@@ -72,14 +72,31 @@ def main(argv=None):
             log.warning("LM fusion assumes char units; unit=%s will fuse "
                         "garbage scores", cfg.unit)
 
-    feats = load_cat_feats(cfg.feat_dir, cfg.split)
-    tokens = list(np.load(
-        os.path.join(cfg.feat_dir, f"{cfg.split}-{cfg.unit}s.npy"),
-        allow_pickle=True))
-    if not feats:
-        raise FileNotFoundError(
-            f"no features for split {cfg.split} in {cfg.feat_dir}; "
-            "run preprocess.py first")
+    import glob as globlib
+    if globlib.glob(os.path.join(cfg.feat_dir, f"{cfg.split}-feats*")):
+        feats = load_cat_feats(cfg.feat_dir, cfg.split)
+        tokens = list(np.load(
+            os.path.join(cfg.feat_dir, f"{cfg.split}-{cfg.unit}s.npy"),
+            allow_pickle=True))
+    else:
+        # fall back to ARSH shards (the reference requires the preprocess
+        # pickles, decode.py:80-89; shards carry the same records)
+        from automatic_speech_recognition_tpu.data.shards import ShardReader
+        shard_files = sorted(globlib.glob(
+            os.path.join(cfg.shard_dir, f"{cfg.split}-*.arsh")))
+        if not shard_files:
+            raise FileNotFoundError(
+                f"no features for split {cfg.split} in {cfg.feat_dir} and "
+                f"no shards in {cfg.shard_dir}; run preprocess.py first")
+        feats, tokens = [], []
+        for fn in shard_files:
+            r = ShardReader(fn)
+            for i in range(len(r)):
+                f, t = r.record(i)
+                feats.append(np.array(f))
+                tokens.append(np.array(t))
+        log.info("loaded %d records from shards (%s)", len(feats),
+                 cfg.shard_dir)
     log.info("decoding %d utterances (beam %d, lm %s)", len(feats),
              cfg.beam_size, cfg.apply_lm)
 

@@ -67,8 +67,12 @@ def main(argv=None):
             audio = np.pad(audio, ((0, pad),) + ((0, 0),) * (audio.ndim - 1))
             audiolen = np.pad(audiolen, (0, pad), constant_values=1)
         dec_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
-        _, y_hat = trainer.eval_forward(ts.params, ts.bn_state,
-                                        audio, audiolen, cfg, dec_steps)
+        try:
+            _, y_hat = trainer.eval_forward(ts.params, ts.bn_state,
+                                            audio, audiolen, cfg, dec_steps)
+        except Exception as e:  # reference skips bad eval batches silently
+            log.warning("eval batch failed, skipping: %s", e)  # test.py:105-111
+            continue
         y_hat = np.asarray(jax.device_get(y_hat))[:real_b]
         for i in range(y_hat.shape[0]):
             hyps.append(convert_idx_to_string(y_hat[i],
