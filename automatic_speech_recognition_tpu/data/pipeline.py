@@ -30,9 +30,14 @@ class Batch(tuple):
 
 
 def bucket_of(featlen: int, boundaries: Sequence[int]) -> Optional[int]:
-    """Index of the first boundary >= featlen; None if beyond the last."""
+    """Index of the first boundary > featlen; None if beyond the last.
+
+    Strict `<` matches tf.data bucket_by_sequence_length, whose hardcoded
+    boundary/batch-size tables these configs mirror (a length exactly at a
+    boundary belongs to the NEXT bucket; reference
+    tfrecord_data_loader.py:73-83)."""
     for i, b in enumerate(boundaries):
-        if featlen <= b:
+        if featlen < b:
             return i
     return None
 

@@ -196,12 +196,13 @@ def sample_seq(params: Dict, cfg: LMConfig, length: int, start_ids,
     warm up on start_ids, then emit `length` ids."""
     state = zero_state(cfg, 1)
     step = jax.jit(lambda i, s: lm_step(params, cfg, i, s))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     if start_ids:
         for sid in start_ids[:-1]:
             _, state = step(jnp.asarray([sid], jnp.int32), state)
         x = jnp.asarray([start_ids[-1]], jnp.int32)
     else:
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, k = jax.random.split(rng)
         x = jax.random.randint(k, (1,), 0, cfg.vocab_size)
     out = []

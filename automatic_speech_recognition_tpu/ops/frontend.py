@@ -211,7 +211,7 @@ def extract_features_cfg(audio, audiolen, cfg, frames_max: int = 0):
         frame_step_ms=cfg.frame_step, feat_dim=cfg.feat_dim,
         feat_type=cfg.feat_type, apply_cmvn=cfg.cmvn,
         fft_length=cfg.fft_length, num_mel_filters=cfg.num_mel_filters,
-        frames_max=frames_max)
+        frames_max=frames_max, use_pallas=cfg.use_pallas)
 
 
 def extract_features_list(signals, cfg, batch_size: int = 128,

@@ -27,15 +27,12 @@ ops/frontend_host.py and reference preprocess.py:72-86).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from . import frontend_host as host
 
 EPS_ZERO = float(np.finfo(np.float64).eps)
 FRAME_TILE = 128  # frames per grid step (MXU sublane-friendly)
@@ -104,10 +101,11 @@ def pallas_frontend(audio: jnp.ndarray, *, flen: int, fstride: int,
     segs = [audio[:, k * fstride:k * fstride + T_pad * fstride]
             .reshape(B, T_pad, fstride) for k in range(nseg)]
 
-    C, Sm = _dft_mats(flen, fft_length)
+    from . import frontend as _f  # shared constant-matrix builders
+    C, Sm = _f._dft_matrices(flen, fft_length)
     n_filters = num_mel_filters if feat_type == "mfcc" else feat_dim
-    M = _mel_mat(n_filters, fft_length, sample_rate)
-    D = _dct_mat(n_filters, feat_dim) if feat_type == "mfcc" else \
+    M = _f._mel_matrix(n_filters, fft_length, sample_rate)
+    D = _f._dct_matrix(n_filters, feat_dim) if feat_type == "mfcc" else \
         np.zeros((n_filters, feat_dim), np.float32)
 
     kernel = functools.partial(_frontend_kernel, flen=flen, fstride=fstride,
@@ -145,22 +143,3 @@ def pallas_frontend(audio: jnp.ndarray, *, flen: int, fstride: int,
     return out
 
 
-@functools.lru_cache(maxsize=8)
-def _dft_mats(flen: int, fft_length: int) -> Tuple[np.ndarray, np.ndarray]:
-    n = np.arange(flen)[:, None]
-    k = np.arange(fft_length // 2 + 1)[None, :]
-    ang = 2.0 * np.pi * n * k / fft_length
-    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
-
-
-@functools.lru_cache(maxsize=8)
-def _mel_mat(num_filters: int, fft_length: int,
-             sample_rate: int = 16000) -> np.ndarray:
-    fb = host.mel_filterbank(num_filters, fft_length // 2 + 1, sample_rate,
-                             0, sample_rate / 2)
-    return fb.T.astype(np.float32)
-
-
-@functools.lru_cache(maxsize=8)
-def _dct_mat(num_inputs: int, num_outputs: int) -> np.ndarray:
-    return host.dct_matrix(num_inputs, num_outputs).astype(np.float32)

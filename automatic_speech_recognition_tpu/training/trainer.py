@@ -45,15 +45,9 @@ def create_train_state(key, cfg: Config) -> TrainState:
                       jnp.zeros((), jnp.int32), jax.random.PRNGKey(cfg.seed))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dec_steps"),
-                   donate_argnames=("ts",))
-def train_step(ts: TrainState, batch, cfg: Config, dec_steps: int):
-    """One optimization step.  batch = (audio, audiolen, y, tokenlen).
-
-    Returns (new_state, metrics) where metrics carries loss / lr / tf_rate
-    and a sample of logits+alphas for logging (reference logs these,
-    train.py:114-126).
-    """
+def _apply_update(ts: TrainState, batch, cfg: Config, dec_steps: int):
+    """Shared fwd+bwd+optimizer core used by every train-step flavor.
+    Returns (new_ts, loss, logits, alphas, grads)."""
     rng, step_rng = jax.random.split(ts.rng)
     grad_fn = jax.value_and_grad(las.total_loss, has_aux=True)
     (loss, (logits, alphas, new_bn)), grads = grad_fn(
@@ -62,16 +56,33 @@ def train_step(ts: TrainState, batch, cfg: Config, dec_steps: int):
     updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
     new_params = optax.apply_updates(ts.params, updates)
     new_ts = TrainState(new_params, new_bn, new_opt, ts.step + 1, rng)
-    metrics = {
+    return new_ts, loss, logits, alphas, grads
+
+
+def _full_metrics(cfg, step, loss, logits, alphas, grads):
+    return {
         "loss": loss,
-        "lr": las.scheduled_learning_rate(cfg, ts.step),
-        "tf_rate": (las.scheduled_sampling_rate(cfg, ts.step)
+        "lr": las.scheduled_learning_rate(cfg, step),
+        "tf_rate": (las.scheduled_sampling_rate(cfg, step)
                     if cfg.scheduled_sampling else jnp.array(1.0)),
         "grad_norm": optax.global_norm(grads),
-        "sample_logits": logits[0],
+        "sample_ids": jnp.argmax(logits[0], -1),
         "sample_alphas": alphas[0],
     }
-    return new_ts, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dec_steps"),
+                   donate_argnames=("ts",))
+def train_step(ts: TrainState, batch, cfg: Config, dec_steps: int):
+    """One optimization step.  batch = (audio, audiolen, y, tokenlen).
+
+    Returns (new_state, metrics) where metrics carries loss / lr / tf_rate
+    and a decoded sample for logging (reference logs these,
+    train.py:114-126).
+    """
+    new_ts, loss, logits, alphas, grads = _apply_update(ts, batch, cfg,
+                                                        dec_steps)
+    return new_ts, _full_metrics(cfg, ts.step, loss, logits, alphas, grads)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dec_steps"),
@@ -87,14 +98,8 @@ def train_multi_step(ts: TrainState, batches, cfg: Config, dec_steps: int):
     and per-step losses.
     """
     def one(ts, batch):
-        rng, step_rng = jax.random.split(ts.rng)
-        grad_fn = jax.value_and_grad(las.total_loss, has_aux=True)
-        (loss, (_, _, new_bn)), grads = grad_fn(
-            ts.params, ts.bn_state, batch, cfg, dec_steps, step_rng, ts.step)
-        tx = make_optimizer(cfg)
-        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-        new_params = optax.apply_updates(ts.params, updates)
-        return TrainState(new_params, new_bn, new_opt, ts.step + 1, rng), loss
+        new_ts, loss, _, _, _ = _apply_update(ts, batch, cfg, dec_steps)
+        return new_ts, loss
 
     ts, losses = jax.lax.scan(one, ts, batches)
     return ts, losses
@@ -127,21 +132,10 @@ def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config,
     batch_sh = sh.batch_shardings(mesh, tuple(batch), cfg.data_axis)
 
     def step_fn(ts, batch):
-        rng, step_rng = jax.random.split(ts.rng)
-        grad_fn = jax.value_and_grad(las.total_loss, has_aux=True)
-        (loss, (logits, alphas, new_bn)), grads = grad_fn(
-            ts.params, ts.bn_state, batch, cfg, dec_steps, step_rng, ts.step)
-        tx = make_optimizer(cfg)
-        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-        new_params = optax.apply_updates(ts.params, updates)
-        new_ts = TrainState(new_params, new_bn, new_opt, ts.step + 1, rng)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                   "lr": las.scheduled_learning_rate(cfg, ts.step),
-                   "tf_rate": (las.scheduled_sampling_rate(cfg, ts.step)
-                               if cfg.scheduled_sampling else jnp.array(1.0)),
-                   "sample_ids": jnp.argmax(logits[0], -1),
-                   "sample_alphas": alphas[0]}
-        return new_ts, metrics
+        new_ts, loss, logits, alphas, grads = _apply_update(ts, batch, cfg,
+                                                            dec_steps)
+        return new_ts, _full_metrics(cfg, ts.step, loss, logits, alphas,
+                                     grads)
 
     jitted = jax.jit(step_fn, in_shardings=(state_sh, batch_sh),
                      out_shardings=(state_sh, None),

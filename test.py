@@ -57,13 +57,18 @@ def main(argv=None):
              cfg.restore_epoch if cfg.restore_epoch >= 0
              else ckpt.latest_epoch(), int(ts.step))
 
-    batch_cap = max(cfg.bucket_batch_sizes)
+    # per-bucket batch-size cap: boundary T -> configured bucket batch size
+    boundaries = cfg.bucket_boundaries_eval
+    cap_of = {b: cfg.bucket_batch_sizes[min(i, len(cfg.bucket_batch_sizes) - 1)]
+              for i, b in enumerate(boundaries)}
     hyps, refs = [], []
+    skipped = 0
     for batch in loader:
         audio, audiolen, ys, yslen = batch
         real_b = audio.shape[0]
-        if real_b < batch_cap:  # pad partial batches to one static shape
-            pad = batch_cap - real_b
+        cap = cap_of.get(audio.shape[1], real_b)
+        if real_b < cap:  # pad partial batches up to the bucket's own size
+            pad = cap - real_b
             audio = np.pad(audio, ((0, pad),) + ((0, 0),) * (audio.ndim - 1))
             audiolen = np.pad(audiolen, (0, pad), constant_values=1)
         dec_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
@@ -71,7 +76,9 @@ def main(argv=None):
             _, y_hat = trainer.eval_forward(ts.params, ts.bn_state,
                                             audio, audiolen, cfg, dec_steps)
         except Exception as e:  # reference skips bad eval batches silently
-            log.warning("eval batch failed, skipping: %s", e)  # test.py:105-111
+            log.warning("eval batch failed, skipping %d utts: %s",
+                        real_b, e)  # test.py:105-111 (but accounted for)
+            skipped += real_b
             continue
         y_hat = np.asarray(jax.device_get(y_hat))[:real_b]
         for i in range(y_hat.shape[0]):
@@ -88,6 +95,9 @@ def main(argv=None):
         f.write("\n".join(refs))
 
     w = corpus_wer(refs, hyps)
+    if skipped:
+        log.warning("WER computed over %d utts; %d skipped due to errors",
+                    len(refs), skipped)
     log.info("WER: %.4f over %d utterances", w, len(refs))
     print(f"WER: {w:.4f}")
     return w

@@ -57,9 +57,13 @@ def _make_shards(tmp_path, rng, n=40, seed=0):
 
 
 def test_bucket_of():
+    # strict < like tf.data bucket_by_sequence_length: a length exactly at
+    # a boundary belongs to the NEXT bucket
     assert bucket_of(5, (10, 20)) == 0
-    assert bucket_of(10, (10, 20)) == 0
+    assert bucket_of(10, (10, 20)) == 1
     assert bucket_of(11, (10, 20)) == 1
+    assert bucket_of(19, (10, 20)) == 1
+    assert bucket_of(20, (10, 20)) is None
     assert bucket_of(21, (10, 20)) is None
 
 

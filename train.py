@@ -96,7 +96,10 @@ def main(argv=None):
         yield first
         yield from it
 
-    batches = DevicePrefetcher(feed(), shard_batch, depth=cfg.prefetch_depth)
+    # multi-step dispatch stacks K host batches before ONE device transfer;
+    # the prefetcher only device_puts in single-step mode
+    put_fn = shard_batch if cfg.steps_per_dispatch <= 1 else (lambda b: b)
+    batches = DevicePrefetcher(feed(), put_fn, depth=cfg.prefetch_depth)
     total_steps = cfg.epoch * steps_per_epoch
     global_step = int(jax.device_get(ts.step))
     t_last, s_last = time.perf_counter(), global_step
@@ -125,13 +128,14 @@ def main(argv=None):
         if cfg.steps_per_dispatch <= 1:
             ts, metrics = step_fn(ts, batch)
             return 1, metrics
-        key = tuple(np.asarray(x).shape for x in batch)
+        key = tuple(x.shape for x in batch)  # host arrays; shape is free
         pending.setdefault(key, []).append(batch)
         if len(pending[key]) < cfg.steps_per_dispatch:
             return 0, None
         group = pending.pop(key)
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: np.stack(xs), *[tuple(b) for b in group])
+        # stack on host, transfer once (jit moves it in a single put)
+        stacked = tuple(np.stack([b[i] for b in group])
+                        for i in range(len(group[0])))
         ts, losses = trainer.train_multi_step(
             ts, stacked, cfg, int(group[0][2].shape[1]))
         return len(group), {"loss": losses[-1], "lr": np.nan,
@@ -180,7 +184,8 @@ def main(argv=None):
                 writer.text("train/hyp", hyp, global_step)
                 writer.image("train/alphas", m["sample_alphas"], global_step)
                 log.info("HYP: %s", hyp[:120])
-        if global_step % steps_per_epoch == 0:
+        # jump-safe: global_step advances by n_done at a time
+        if global_step % steps_per_epoch < n_done:
             epoch = global_step // steps_per_epoch
             with timers.stage("checkpoint"):
                 ckpt.save(epoch, jax.device_get(ts))
