@@ -18,7 +18,7 @@ on 1 chip, an 8-device CPU simulation, or a pod slice.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

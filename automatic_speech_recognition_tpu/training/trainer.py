@@ -10,7 +10,7 @@ global step incremented per application.  BN moving stats update alongside
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Reference semantics reproduced from las/utils.py:
 from __future__ import annotations
 
 import string
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
