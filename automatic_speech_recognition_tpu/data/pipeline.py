@@ -75,6 +75,15 @@ class BucketedLoader:
     def num_records(self) -> int:
         return sum(len(r) for r in self._readers.values())
 
+    def batch_size_for(self, padded_len: int) -> Optional[int]:
+        """Configured batch size of the bucket that pads to `padded_len`
+        (the loader's own boundary->batch-size rule, for callers that pad
+        partial batches back up to one static shape)."""
+        for i, b in enumerate(self.boundaries):
+            if b == padded_len:
+                return self.batch_sizes[min(i, len(self.batch_sizes) - 1)]
+        return None
+
     def _record_stream(self) -> Iterator[Tuple]:
         """Yields (reader, index, featlen) without materializing records."""
         while True:
@@ -119,9 +128,11 @@ class BucketedLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         buckets: List[List] = [[] for _ in self.boundaries]
+        self.dropped = 0  # beyond-last-boundary utts in the latest pass
         for r, i, featlen in self._record_stream():
             b = bucket_of(featlen, self.boundaries)
             if b is None:
+                self.dropped += 1
                 continue  # drop beyond-last-boundary utts (TF raises; we drop)
             buckets[b].append((r, i, featlen))
             bs = self.batch_sizes[min(b, len(self.batch_sizes) - 1)]

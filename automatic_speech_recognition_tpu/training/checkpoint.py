@@ -39,6 +39,11 @@ class CheckpointManager:
         )
 
     def save(self, epoch: int, state: Any) -> None:
+        """Save, overwriting an existing checkpoint for the same epoch
+        (tf.train.Saver semantics: resuming and re-saving epoch N must not
+        crash; orbax raises StepAlreadyExistsError by default)."""
+        if epoch in self._mgr.all_steps():
+            self._mgr.delete(epoch)
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 

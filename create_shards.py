@@ -45,10 +45,12 @@ def main(argv=None):
     cfg = parse_args(argv)
     os.makedirs(cfg.shard_dir, exist_ok=True)
 
-    train_cats = [c for c in
-                  ("train-100", "train-360", "train-500",
-                   "speed_0.9", "speed_1.1")
-                  if globlib.glob(os.path.join(cfg.feat_dir, f"{c}-feats*"))]
+    # every train-* and speed_* (augmented, per source cat) feature dump
+    cats_on_disk = sorted({
+        os.path.basename(p).split("-feats")[0]
+        for p in globlib.glob(os.path.join(cfg.feat_dir, "*-feats*"))})
+    train_cats = [c for c in cats_on_disk
+                  if c.startswith("train-") or c.startswith("speed_")]
     start_index, total = 1, 0
     for cat in train_cats:
         feats = load_cat_feats(cfg.feat_dir, cat)

@@ -40,7 +40,10 @@ log = logging.getLogger("decode")
 
 
 def batch_iter(feats, tokens, batch, pad_quantum=128):
-    order = np.argsort([len(t) for t in tokens])  # decode.py:122-124
+    # sort by FEATURE length — that is the padded dimension, so batches
+    # stay tight (the reference sorts by token length, decode.py:122-124,
+    # which only approximates this)
+    order = np.argsort([len(f) for f in feats])
     for lo in range(0, len(order), batch):
         idx = order[lo:lo + batch]
         group = [np.asarray(feats[i], np.float32) for i in idx]

@@ -57,7 +57,10 @@ def data_preparation(libri_path):
                 cand = base + ".flac" if os.path.exists(base + ".flac") \
                     else base + ".wav"
                 audio_path.append(cand)
-                texts.append(line[len(head) + 1:-1].replace("'", ""))
+                # rstrip, not [:-1]: a final line without '\n' must not
+                # lose its last character
+                texts.append(
+                    line.rstrip("\n")[len(head) + 1:].replace("'", ""))
     return texts, audio_path
 
 
@@ -152,15 +155,18 @@ def main_libri(cfg, tokenizer):
         save_feats(cfg, cat, audio_path)
         if cfg.augmentation and "train" in cat:
             for s in augmentation.SPEED_LIST:
+                # per-source-cat names so multiple train sets don't
+                # overwrite each other's augmented dumps
+                aug_cat = f"speed_{s}_{cat}"
                 log.info("speed augmentation x%.1f for %s", s, cat)
-                save_feats(cfg, f"speed_{s}", audio_path,
+                save_feats(cfg, aug_cat, audio_path,
                            transform=lambda sig, sp=s:
                            augmentation.speed_perturb(sig, sp))
                 np.save(os.path.join(cfg.feat_dir,
-                                     f"speed_{s}-{cfg.unit}s.npy"),
+                                     f"{aug_cat}-{cfg.unit}s.npy"),
                         tokens, allow_pickle=True)
                 np.save(os.path.join(cfg.feat_dir,
-                                     f"speed_{s}-{cfg.unit}len.npy"),
+                                     f"{aug_cat}-{cfg.unit}len.npy"),
                         tokenlen)
 
 

@@ -57,16 +57,13 @@ def main(argv=None):
              cfg.restore_epoch if cfg.restore_epoch >= 0
              else ckpt.latest_epoch(), int(ts.step))
 
-    # per-bucket batch-size cap: boundary T -> configured bucket batch size
-    boundaries = cfg.bucket_boundaries_eval
-    cap_of = {b: cfg.bucket_batch_sizes[min(i, len(cfg.bucket_batch_sizes) - 1)]
-              for i, b in enumerate(boundaries)}
     hyps, refs = [], []
     skipped = 0
     for batch in loader:
         audio, audiolen, ys, yslen = batch
         real_b = audio.shape[0]
-        cap = cap_of.get(audio.shape[1], real_b)
+        # pad partial batches back up to the bucket's own static shape
+        cap = loader.batch_size_for(audio.shape[1]) or real_b
         if real_b < cap:  # pad partial batches up to the bucket's own size
             pad = cap - real_b
             audio = np.pad(audio, ((0, pad),) + ((0, 0),) * (audio.ndim - 1))
@@ -94,10 +91,17 @@ def main(argv=None):
     with open(os.path.join(cfg.log_dir, "test_gt.txt"), "w") as f:
         f.write("\n".join(refs))
 
+    if not refs:
+        raise RuntimeError(
+            f"no utterances decoded ({skipped} skipped by errors); "
+            "refusing to report a WER over an empty set")
     w = corpus_wer(refs, hyps)
     if skipped:
         log.warning("WER computed over %d utts; %d skipped due to errors",
                     len(refs), skipped)
+    if getattr(loader, "dropped", 0):
+        log.warning("%d utterances beyond the last bucket boundary were "
+                    "dropped by the loader", loader.dropped)
     log.info("WER: %.4f over %d utterances", w, len(refs))
     print(f"WER: {w:.4f}")
     return w

@@ -194,7 +194,10 @@ def main(argv=None):
                 ckpt.save(epoch, jax.device_get(ts))
             log.info("saved epoch %d -> %s", epoch, cfg.save_dir)
 
-    if global_step % steps_per_epoch:
+    if profiling:  # run ended before the stop step; close the trace
+        jax.profiler.stop_trace()
+        log.info("profiler trace (short run) written to %s", cfg.profile_dir)
+    if global_step % steps_per_epoch and not stop_requested:
         ckpt.save(max(1, global_step // steps_per_epoch + 1),
                   jax.device_get(ts))
     log.info("done at step %d; timers: %s", global_step, timers.report())

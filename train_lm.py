@@ -66,7 +66,14 @@ def parse_args(argv=None):
 
 
 def encode_text(text: str, v2i) -> np.ndarray:
-    return np.asarray([v2i[c] for c in text], np.int32)
+    """Encode cleaned text, dropping any character outside the 28-token
+    vocab (cleaning removes most, but e.g. '/' survives the reference's
+    translation table, train_lm.py:359-376)."""
+    ids = [v2i[c] for c in text if c in v2i]
+    if len(ids) != len(text):
+        log.warning("dropped %d out-of-vocab characters from corpus",
+                    len(text) - len(ids))
+    return np.asarray(ids, np.int32)
 
 
 def run_epoch(ts, cfg, gen, data_size, is_training, verbose=0, freq=100,
@@ -148,15 +155,17 @@ def main(argv=None):
     best_ckpt = CheckpointManager(os.path.join(out, "lang", "best_model"),
                                   max_to_keep=1)
     restored = ckpt.restore(ts)
+    epoch = 0
     if restored is not None:
         ts = restored
-        log.info("restored from %s (step %d)", out, int(ts.step))
+        epoch = ckpt.latest_epoch() or 0  # continue epoch numbering
+        log.info("restored from %s (epoch %d, step %d)", out, epoch,
+                 int(ts.step))
 
     result = {"params": dataclasses.asdict(cfg),
               "vocab_file": os.path.join(out, "vocab.json"),
               "encoding": args.encoding}
     best_valid_ppl, best_epoch = None, None
-    epoch = 0
     try:
         for i in range(args.num_epochs):
             for j in range(args.n_save):
