@@ -70,6 +70,9 @@ class BucketedLoader:
         reader_cls = (shards_native.NativeShardReader if self.native
                       else ShardReader)
         self._readers = {f: reader_cls(f) for f in self.files}
+        geoms = {(r.feat_dim, r.channels) for r in self._readers.values()}
+        if len(geoms) > 1:  # mixed shapes would corrupt batch assembly
+            raise ValueError(f"shards disagree on feature geometry: {geoms}")
 
     @property
     def num_records(self) -> int:

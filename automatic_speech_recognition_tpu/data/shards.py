@@ -42,6 +42,11 @@ def write_shard(path: str, feats: Sequence[np.ndarray],
         f0 = np.asarray(feats[0])
         D = f0.shape[1]
         C = f0.shape[2] if f0.ndim == 3 else 1
+        for k, f in enumerate(feats):  # uniform stride or readers corrupt
+            fs = np.asarray(f).shape
+            if fs[1] != D or (fs[2] if len(fs) == 3 else 1) != C:
+                raise ValueError(
+                    f"record {k} geometry {fs[1:]} != shard ({D}, {C})")
     else:
         D = C = 0
     offsets: List[int] = []

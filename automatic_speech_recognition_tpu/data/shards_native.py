@@ -10,53 +10,35 @@ intermediate arrays.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Optional, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libshardio.so")
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_lib_failed = False
+from ._native import load_native
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.shard_open.restype = ctypes.c_void_p
+    lib.shard_open.argtypes = [ctypes.c_char_p]
+    lib.shard_close.argtypes = [ctypes.c_void_p]
+    lib.shard_num_records.restype = ctypes.c_int64
+    lib.shard_num_records.argtypes = [ctypes.c_void_p]
+    for f in (lib.shard_feat_dim, lib.shard_channels):
+        f.restype = ctypes.c_int32
+        f.argtypes = [ctypes.c_void_p]
+    for f in (lib.shard_featlen, lib.shard_tokenlen):
+        f.restype = ctypes.c_int32
+        f.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.shard_read_into.restype = ctypes.c_int
+    lib.shard_read_into.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_failed
-    with _lock:
-        if _lib is not None or _lib_failed:
-            return _lib
-        try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(["make", "-C", _NATIVE_DIR, "libshardio.so"],
-                               check=True, capture_output=True)
-            lib = ctypes.CDLL(_LIB_PATH)
-        except (OSError, subprocess.SubprocessError):
-            _lib_failed = True
-            return None
-        lib.shard_open.restype = ctypes.c_void_p
-        lib.shard_open.argtypes = [ctypes.c_char_p]
-        lib.shard_close.argtypes = [ctypes.c_void_p]
-        lib.shard_num_records.restype = ctypes.c_int64
-        lib.shard_num_records.argtypes = [ctypes.c_void_p]
-        for f in (lib.shard_feat_dim, lib.shard_channels):
-            f.restype = ctypes.c_int32
-            f.argtypes = [ctypes.c_void_p]
-        for f in (lib.shard_featlen, lib.shard_tokenlen):
-            f.restype = ctypes.c_int32
-            f.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-        lib.shard_read_into.restype = ctypes.c_int
-        lib.shard_read_into.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
-        _lib = lib
-        return lib
+    return load_native("libshardio.so", _configure)
 
 
 def available() -> bool:
@@ -92,6 +74,12 @@ class NativeShardReader:
                   tok_row: np.ndarray) -> Tuple[int, int]:
         """Copy record i into pre-zeroed (T_pad, D, C) float32 and (L_pad,)
         int32 rows; returns (T, L) actually written."""
+        if feat_row.shape[1:] != (self.feat_dim, self.channels):
+            # the C memcpy uses the SHARD's stride; a mismatched buffer
+            # would be silently corrupted
+            raise ValueError(
+                f"destination row {feat_row.shape[1:]} != shard geometry "
+                f"({self.feat_dim}, {self.channels})")
         T = ctypes.c_int32()
         L = ctypes.c_int32()
         rc = self._lib.shard_read_into(

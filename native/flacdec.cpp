@@ -167,6 +167,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     for (int i = 0; i < blocksize; i++) out[i] = br.read_signed(bps);
   } else if ((type & 0x38) == 0x08 && (type & 0x07) < kFixedOrders) {
     int order = type & 0x07;          // FIXED
+    if (order > blocksize) return false;  // warm-up must fit the block
     for (int i = 0; i < order; i++) out[i] = br.read_signed(bps);
     if (!read_residual(br, blocksize, order, out.data())) return false;
     switch (order) {
@@ -190,6 +191,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     }
   } else if (type & 0x20) {           // LPC, order = (type & 0x1F) + 1
     int order = (type & 0x1F) + 1;
+    if (order > blocksize) return false;  // warm-up must fit the block
     for (int i = 0; i < order; i++) out[i] = br.read_signed(bps);
     int precision = br.read(4);
     if (precision == 0xF) return false;
@@ -227,6 +229,9 @@ extern "C" {
 int flac_decode(const uint8_t* data, size_t size, int32_t** out_samples,
                 int64_t* out_n /* per channel */, int* out_rate,
                 int* out_channels, int* out_bps) {
+  // never let a C++ exception (e.g. bad_alloc from a corrupt header)
+  // unwind through the ctypes FFI boundary
+  try {
   if (size < 42 || memcmp(data, "fLaC", 4) != 0) return 1;
   size_t pos = 4;
   int sample_rate = 0, channels = 0, bps = 0;
@@ -258,10 +263,17 @@ int flac_decode(const uint8_t* data, size_t size, int32_t** out_samples,
     return 3;
 
   std::vector<int32_t> pcm;
-  if (total_samples) pcm.reserve(total_samples * channels);
+  // reserve from the untrusted header only up to a sane cap; push_back
+  // grows beyond it if the data is really there
+  if (total_samples) {
+    uint64_t want = total_samples * (uint64_t)channels;
+    uint64_t cap = size * 4ull;  // decoded PCM can't dwarf the file 16x
+    pcm.reserve((size_t)(want < cap ? want : cap));
+  }
 
   BitReader br(data + pos, size - pos);
   std::vector<std::vector<int32_t>> ch(channels);
+  bool decode_error = false;
 
   while (!br.at_end()) {
     br.align_byte();
@@ -285,7 +297,7 @@ int flac_decode(const uint8_t* data, size_t size, int32_t** out_samples,
     read_utf8(br);                       // frame/sample number
 
     int blocksize;
-    if (bs_code == 0) break;             // reserved -> corrupt
+    if (bs_code == 0) { decode_error = true; break; }  // reserved
     blocksize = kBlockSizeTable[bs_code];
     if (blocksize == -1) blocksize = br.read(8) + 1;
     else if (blocksize == -2) blocksize = br.read(16) + 1;
@@ -303,11 +315,15 @@ int flac_decode(const uint8_t* data, size_t size, int32_t** out_samples,
     bool left_side = false, right_side = false, mid_side = false;
     if (ch_assign <= 7) {
       nch = ch_assign + 1;
-      if (nch != channels) break;
-    } else if (ch_assign == 8) { left_side = true; nch = 2; }
-    else if (ch_assign == 9) { right_side = true; nch = 2; }
-    else if (ch_assign == 10) { mid_side = true; nch = 2; }
-    else break;
+      if (nch != channels) { decode_error = true; break; }
+    } else if (ch_assign >= 8 && ch_assign <= 10) {
+      // stereo decorrelation modes are only valid for 2-channel streams
+      if (channels != 2) { decode_error = true; break; }
+      left_side = ch_assign == 8;
+      right_side = ch_assign == 9;
+      mid_side = ch_assign == 10;
+      nch = 2;
+    } else { decode_error = true; break; }
 
     bool ok = true;
     for (int c = 0; c < nch && ok; c++) {
@@ -317,7 +333,7 @@ int flac_decode(const uint8_t* data, size_t size, int32_t** out_samples,
         sub_bps += 1;                    // side channel carries 1 extra bit
       ok = decode_subframe(br, blocksize, sub_bps, ch[c]);
     }
-    if (!ok || br.error) break;
+    if (!ok || br.error) { decode_error = true; break; }
 
     br.align_byte();
     br.read(16);                         // CRC-16
@@ -344,6 +360,11 @@ int flac_decode(const uint8_t* data, size_t size, int32_t** out_samples,
   }
 
   if (pcm.empty()) return 4;
+  // a frame failed mid-stream and the header-declared length was not
+  // reached: report the corruption instead of silently truncating
+  if (decode_error && total_samples
+      && pcm.size() < total_samples * (uint64_t)channels)
+    return 7;
   int64_t n = (int64_t)(pcm.size() / channels);
   if (total_samples && (uint64_t)n > total_samples)
     n = (int64_t)total_samples;        // drop padding from final block
@@ -356,6 +377,9 @@ int flac_decode(const uint8_t* data, size_t size, int32_t** out_samples,
   *out_channels = channels;
   *out_bps = bps;
   return 0;
+  } catch (...) {
+    return 6;
+  }
 }
 
 void flac_free(int32_t* p) { free(p); }

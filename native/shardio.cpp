@@ -67,8 +67,14 @@ void* shard_open(const char* path) {
   s->base = (const uint8_t*)mem;
   s->size = st.st_size;
   memcpy(&s->hdr, s->base, sizeof(Header));
-  if (memcmp(s->hdr.magic, "ARSH", 4) != 0 ||
-      s->hdr.index_offset + 8 * s->hdr.num_records > s->size) {
+  // overflow-safe validation of untrusted header fields: compare with
+  // subtraction against size, never with untrusted sums/products
+  bool bad = memcmp(s->hdr.magic, "ARSH", 4) != 0
+             || s->hdr.index_offset > s->size
+             || s->hdr.num_records > (s->size - s->hdr.index_offset) / 8
+             || (uint64_t)s->hdr.feat_dim * s->hdr.channels
+                    > (uint64_t)1 << 24;
+  if (bad) {
     munmap(mem, st.st_size);
     close(fd);
     delete s;
@@ -93,7 +99,7 @@ int32_t shard_channels(void* h) { return ((Shard*)h)->hdr.channels; }
 static inline const uint8_t* record_ptr(const Shard* s, int64_t i,
                                         uint32_t* T, uint32_t* L) {
   uint64_t off = s->offsets[i];
-  if (off + 8 > s->size) return nullptr;
+  if (off > s->size || s->size - off < 8) return nullptr;  // no overflow
   memcpy(T, s->base + off, 4);
   memcpy(L, s->base + off + 4, 4);
   return s->base + off + 8;
@@ -123,9 +129,12 @@ int shard_read_into(void* h, int64_t i, float* feat_dst, int32_t max_frames,
   uint32_t T, L;
   const uint8_t* p = record_ptr(s, i, &T, &L);
   if (!p) return 2;
+  // overflow-safe: row <= 2^24 (validated at open), T/L are u32, so the
+  // products fit u64; compare against the remaining bytes by subtraction
   uint64_t row = (uint64_t)s->hdr.feat_dim * s->hdr.channels;
   uint64_t feat_bytes = (uint64_t)T * row * 4;
-  if (s->offsets[i] + 8 + feat_bytes + (uint64_t)L * 4 > s->size) return 3;
+  uint64_t avail = s->size - s->offsets[i] - 8;  // record_ptr checked >= 8
+  if (feat_bytes > avail || (uint64_t)L * 4 > avail - feat_bytes) return 3;
   uint32_t copy_T = T < (uint32_t)max_frames ? T : (uint32_t)max_frames;
   uint32_t copy_L = L < (uint32_t)max_tokens ? L : (uint32_t)max_tokens;
   memcpy(feat_dst, p, (uint64_t)copy_T * row * 4);

@@ -78,6 +78,49 @@ def test_8bit_and_24bit(tmp_path, rng):
     np.testing.assert_allclose(sig, _expected_mono([pcm24], 24))
 
 
+def test_malformed_flac_raises_not_crashes(tmp_path, rng):
+    """Corrupt inputs must raise ValueError — never OOB-write or abort
+    (decoder hardening: warm-up order > blocksize, bogus STREAMINFO,
+    truncated frames)."""
+    from automatic_speech_recognition_tpu.data.flac import read_flac
+    good = encode_flac([(rng.standard_normal(600) * 500).astype(np.int32)],
+                       subframe_kind="lpc")
+    cases = {
+        "not_flac": b"RIFFxxxxWAVE" + b"\x00" * 64,
+        "truncated_meta": good[:20],
+        "truncated_frames": good[: len(good) // 2],
+        "garbage_frames": good[:46] + bytes(rng.integers(0, 256, 300,
+                                                         dtype=np.uint8)),
+    }
+    for name, data in cases.items():
+        p = tmp_path / f"{name}.flac"
+        p.write_bytes(data)
+        try:
+            sig, rate = read_flac(str(p))  # some cases may decode a prefix
+        except ValueError:
+            pass  # the expected failure mode
+
+
+def test_mixed_geometry_shard_rejected(tmp_path, rng):
+    from automatic_speech_recognition_tpu.data import shards
+    feats = [rng.standard_normal((10, 8, 3)).astype(np.float32),
+             rng.standard_normal((10, 16, 3)).astype(np.float32)]
+    tokens = [np.ones(3, np.int32)] * 2
+    with pytest.raises(ValueError):
+        shards.write_shard(str(tmp_path / "bad.arsh"), feats, tokens)
+
+
+def test_native_read_into_geometry_guard(tmp_path, rng):
+    from automatic_speech_recognition_tpu.data import shards, shards_native
+    path = str(tmp_path / "g-1.arsh")
+    shards.write_shard(path, [rng.standard_normal((10, 8, 3)).astype(np.float32)],
+                       [np.ones(3, np.int32)])
+    r = shards_native.NativeShardReader(path)
+    wrong = np.zeros((10, 16, 3), np.float32)  # wrong stride
+    with pytest.raises(ValueError):
+        r.read_into(0, wrong, np.zeros(3, np.int32))
+
+
 def test_read_audio_dispatch(tmp_path, rng):
     from automatic_speech_recognition_tpu.data.audio_io import read_audio
     pcm = (rng.standard_normal(500) * 1000).astype(np.int32)
