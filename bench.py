@@ -40,14 +40,19 @@ def make_audio(n, seconds, rng):
     return (rng.standard_normal((n, s)) * 0.1).astype(np.float32)
 
 
-def bench_cpu(audio):
-    t0 = time.perf_counter()
-    for i in range(audio.shape[0]):
-        frontend_host.process_audio(
-            audio[i], sample_rate=SAMPLE_RATE, feat_dim=FEAT_DIM,
-            feat_type="mfcc", apply_cmvn=True)
-    dt = time.perf_counter() - t0
-    return audio.shape[0] / dt
+def bench_cpu(audio, repeats=3):
+    """Best of `repeats` passes (noise-robust; throughput noise is
+    strictly additive)."""
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(audio.shape[0]):
+            frontend_host.process_audio(
+                audio[i], sample_rate=SAMPLE_RATE, feat_dim=FEAT_DIM,
+                feat_type="mfcc", apply_cmvn=True)
+        dt = time.perf_counter() - t0
+        best = max(best, audio.shape[0] / dt)
+    return best
 
 
 def bench_device(audio):
@@ -69,10 +74,13 @@ def bench_device(audio):
         return float(jax.device_get(acc))
 
     loop(2)  # compile the kernel AND the timing glue ops
-    t0 = time.perf_counter()
-    loop(DEVICE_ITERS)
-    dt = time.perf_counter() - t0
-    return DEVICE_ITERS * audio.shape[0] / dt
+    best = 0.0
+    for _ in range(3):  # best of 3 windows (tunnel latency is noisy)
+        t0 = time.perf_counter()
+        loop(DEVICE_ITERS)
+        dt = time.perf_counter() - t0
+        best = max(best, DEVICE_ITERS * audio.shape[0] / dt)
+    return best
 
 
 def main():
