@@ -97,3 +97,6 @@ def test_sample_seq_greedy_deterministic():
     c = char_rnn.sample_seq(params, cfg, 10, [1, 2], max_prob=False,
                             rng=jax.random.PRNGKey(3), temperature=2.0)
     assert len(c) == 10
+    # regression: sampling with start_ids but NO rng must not crash
+    d = char_rnn.sample_seq(params, cfg, 5, [1, 2], max_prob=False)
+    assert len(d) == 5
