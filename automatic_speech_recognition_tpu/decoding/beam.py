@@ -14,11 +14,15 @@ Reference semantics reproduced exactly (las/beam_search.py):
   copies; :119).
 - `<SOS>` re-emission is skipped for t > 0 (:127-128).
 - per-step selection takes the global top-K over all active beams'
-  expansions.  (The reference prunes to each beam's top-64 first (:123);
-  for K <= 64 that pruning never changes the global top-K, so it is
-  omitted.)  All candidates at step t share length t+1, so the length
-  normalization (:306) cannot affect per-step selection — only the final
-  ranking of finished hypotheses, where it IS applied.
+  expansions, after pruning each beam to its TOP_EXPANSIONS (=64) best
+  next tokens exactly like the reference (:123).  For K <= 64 the pruning
+  can never change the global top-K (each selected candidate is at worst
+  the K-th best of its own beam), so it is compiled out.  All candidates
+  at step t share length t+1, so the length normalization (:306) cannot
+  affect per-step selection — only the final ranking of finished
+  hypotheses, where it IS applied.  (Tie handling differs in the
+  measure-zero case of exactly-equal float logits at the 64th place:
+  the reference's argsort keeps exactly 64, we keep all ties.)
 - hypotheses ending in `<EOS>` retire to a finished bank and their slot
   stops competing (:148-152); the search stops when the bank holds K
   hypotheses or after dec_step = audiolen*convert_rate steps (:94, :78),
@@ -44,6 +48,18 @@ from ..ops import layers as L
 NEG = -1.0e30
 SOS_ID = 1
 EOS_ID = 2
+# per-beam expansion budget before global top-K (las/beam_search.py:123)
+TOP_EXPANSIONS = 64
+
+
+def prune_expansions(step_scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep each row's top-k entries, mask the rest to NEG
+    (the reference's per-beam `np.argsort(logits[i])[-64:]`,
+    las/beam_search.py:123).  No-op when k >= row width."""
+    if k >= step_scores.shape[-1]:
+        return step_scores
+    kth = jax.lax.top_k(step_scores, k)[0][..., -1:]
+    return jnp.where(step_scores >= kth, step_scores, NEG)
 
 
 class BeamResult(NamedTuple):
@@ -119,6 +135,9 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         else:
             new_lm_states = c.lm_states
         step_scores = jax.nn.log_softmax(logits, -1) if logprob else logits
+        if K > TOP_EXPANSIONS:
+            # only then can pruning change the global top-K selection
+            step_scores = prune_expansions(step_scores, TOP_EXPANSIONS)
 
         cand = c.cum[:, None] + step_scores                   # (K, V)
         cand = jnp.where(c.valid[:, None], cand, NEG)
@@ -131,7 +150,11 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         tok = flat_idx % V
 
         new_tokens = c.tokens[parent].at[:, c.t].set(tok)
-        eos = tok == EOS_ID
+        # a slot is `real` iff it descends from an actual candidate; when
+        # fewer than K candidates exist (t=0, or pruned rows) the surplus
+        # slots carry ~NEG scores and must not finish or enter the bank
+        real = scores > NEG * 0.5
+        eos = (tok == EOS_ID) & real
         norm = scores / (c.t + 1).astype(jnp.float32)
 
         # merge newly finished hypotheses into the bank, keep best K
@@ -147,7 +170,7 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
             prev_align=alphas[parent],
             dec_states=new_states[:, parent],
             cum=jnp.where(eos, NEG, scores),
-            valid=~eos,
+            valid=~eos & real,
             tokens=new_tokens,
             bank_tokens=cat_tokens[bidx],
             bank_len=cat_len[bidx],

@@ -171,6 +171,50 @@ def test_beam1_equals_greedy_prefix():
         assert list(got[:limit]) == list(greedy[:limit])
 
 
+def test_prune_expansions_masks_all_but_topk():
+    """Per-beam expansion pruning (las/beam_search.py:123): only each
+    row's top-k survive; everything else is NEG."""
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.standard_normal((3, 100)), jnp.float32)
+    pruned = np.asarray(beam_lib.prune_expansions(scores, 64))
+    for i in range(3):
+        keep = np.argsort(np.asarray(scores[i]))[-64:]
+        masked = np.setdiff1d(np.arange(100), keep)
+        np.testing.assert_array_equal(pruned[i, keep], np.asarray(scores)[i, keep])
+        assert (pruned[i, masked] == beam_lib.NEG).all()
+    # k >= width is the identity
+    np.testing.assert_array_equal(
+        np.asarray(beam_lib.prune_expansions(scores, 100)),
+        np.asarray(scores))
+
+
+def test_beam_size_above_64_matches_host_reference():
+    """K > 64 engages the reference's per-beam top-64 pruning
+    (las/beam_search.py:123); vocab 100 > 64 so pruning is live at every
+    step, and at t=0 only 64 of the 80 slots are real candidates."""
+    big = CFG.replace(vocab_size=100)
+    rng = np.random.default_rng(21)
+    params, bn_state = las.las_init(jax.random.PRNGKey(21), big)
+    B, T = 2, 24
+    audio = jnp.asarray(rng.standard_normal((B, T, big.feat_dim, 3)),
+                        jnp.float32)
+    audiolen = jnp.asarray([T, T - 6], jnp.int32)
+    max_steps, K = 6, 80
+    res = beam_lib.beam_search(params, bn_state, audio, audiolen, big,
+                               max_steps=max_steps, beam_size=K)
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn_state["listener"], audio, audiolen, big,
+        is_training=False)
+    for b in range(B):
+        dec_step = min(max(int(audiolen[b] * big.convert_rate), 1), max_steps)
+        ids, score = host_reference_beam(
+            params["speller"], big, enc_out[b], enc_len[b], dec_step, K)
+        got = np.asarray(res.tokens[b, 0])[:int(res.lengths[b, 0])]
+        assert list(got) == ids, (list(got), ids)
+        np.testing.assert_allclose(float(res.scores[b, 0]), score,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_lm_fusion_matches_host_reference():
     params, bn_state, audio, audiolen = _setup(seed=5)
     lm_cfg = char_rnn.LMConfig(vocab_size=CFG.vocab_size - 2, hidden_size=8,
