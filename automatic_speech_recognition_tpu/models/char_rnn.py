@@ -10,6 +10,10 @@ dense softmax head.  The reference quirks kept on purpose:
   helpers are vanilla RNN cells.
 - embedding_size <= 0 means one-hot inputs with NO input dropout
   (lang/char_rnn_model.py:30-34).
+- dropout is OUTPUT dropout on every cell (DropoutWrapper
+  output_keep_prob=1-dropout, lang/char_rnn_model.py:82-85);
+  input_dropout applies to the embedded inputs
+  (lang/char_rnn_model.py:114-115).  Both train-time only.
 - loss is mean sparse softmax CE over all unrolled positions
   (lang/char_rnn_model.py:145-148); ppl = exp(mean loss).
 - training is Adam + clip_by_global_norm(max_grad_norm)
@@ -66,6 +70,12 @@ class LMConfig:
     def input_size(self) -> int:
         return self.embedding_size if self.embedding_size > 0 else self.vocab_size
 
+    @property
+    def effective_input_dropout(self) -> float:
+        """No dropout on one-hot representations
+        (lang/char_rnn_model.py:30-34)."""
+        return self.input_dropout if self.embedding_size > 0 else 0.0
+
 
 def lm_init(key, cfg: LMConfig) -> Dict:
     keys = jax.random.split(key, cfg.num_layers + 2)
@@ -111,9 +121,20 @@ def _embed(params: Dict, cfg: LMConfig, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(neg[..., None], 0.0, x)
 
 
-def lm_step(params: Dict, cfg: LMConfig, ids: jnp.ndarray, state):
-    """One LM step: ids (B,) int32 -> (logits (B, V), new_state)."""
+def lm_step(params: Dict, cfg: LMConfig, ids: jnp.ndarray, state,
+            rng=None, is_training: bool = False):
+    """One LM step: ids (B,) int32 -> (logits (B, V), new_state).
+
+    Training with rng: input dropout on the embedded ids (zero in one-hot
+    mode, lang/char_rnn_model.py:30-34, :114-115) and output dropout on
+    every cell (DropoutWrapper output_keep_prob, :82-85).
+    """
+    train_drop = (is_training and rng is not None
+                  and (cfg.dropout > 0 or cfg.effective_input_dropout > 0))
     x = _embed(params, cfg, ids)
+    if train_drop:
+        keys = jax.random.split(rng, cfg.num_layers + 1)
+        x = L.dropout(keys[0], x, cfg.effective_input_dropout, True)
     new_state = []
     for i in range(cfg.num_layers):
         if cfg.model == "lstm":
@@ -125,27 +146,43 @@ def lm_step(params: Dict, cfg: LMConfig, ids: jnp.ndarray, state):
         else:
             x = L.rnn_cell_apply(params[f"cell_{i}"], x, state[i])
             s = x
+        if train_drop:
+            # output dropout only affects the stacked input / softmax path;
+            # the recurrent state stays undropped (DropoutWrapper semantics)
+            x = L.dropout(keys[1 + i], x, cfg.dropout, True)
         new_state.append(s)
     logits = x @ params["softmax_w"] + params["softmax_b"]
     return logits, tuple(new_state)
 
 
-def lm_apply(params: Dict, cfg: LMConfig, inputs: jnp.ndarray, state):
+def lm_apply(params: Dict, cfg: LMConfig, inputs: jnp.ndarray, state,
+             rng=None, is_training: bool = False):
     """Unrolled forward: inputs (B, T) -> (logits (B, T, V), final_state)."""
     xs = jnp.swapaxes(inputs, 0, 1)  # time-major
+    # static elision: no RNG ops in the scan body unless dropout is live
+    drop = (is_training and rng is not None
+            and (cfg.dropout > 0 or cfg.effective_input_dropout > 0))
 
     def step(carry, x):
-        logits, carry = lm_step(params, cfg, x, carry)
-        return carry, logits
+        state, key = carry
+        if drop:
+            key, sub = jax.random.split(key)
+        else:
+            sub = None
+        logits, state = lm_step(params, cfg, x, state, sub, is_training)
+        return (state, key), logits
 
-    final_state, logits = jax.lax.scan(step, state, xs)
+    (final_state, _), logits = jax.lax.scan(
+        step, (state, rng if rng is not None else jax.random.PRNGKey(0)), xs)
     return jnp.swapaxes(logits, 0, 1), final_state
 
 
-def lm_loss(params: Dict, cfg: LMConfig, inputs, targets, state):
+def lm_loss(params: Dict, cfg: LMConfig, inputs, targets, state,
+            rng=None, is_training: bool = False):
     """Mean sparse CE over all positions (lang/char_rnn_model.py:145-148).
     Returns (loss, final_state)."""
-    logits, final_state = lm_apply(params, cfg, inputs, state)
+    logits, final_state = lm_apply(params, cfg, inputs, state, rng,
+                                   is_training)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.mean(nll), final_state
@@ -169,11 +206,19 @@ def create_lm_train_state(key, cfg: LMConfig) -> LMTrainState:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def lm_train_step(ts: LMTrainState, inputs, targets, state, cfg: LMConfig):
+def lm_train_step(ts: LMTrainState, inputs, targets, state, cfg: LMConfig,
+                  rng=None):
     """One LM optimization step; carries the recurrent state across steps
-    like the reference's stateful epoch loop (lang/char_rnn_model.py:216-232)."""
+    like the reference's stateful epoch loop (lang/char_rnn_model.py:216-232).
+
+    rng drives train-time dropout; None derives a per-step key from the
+    step counter so `--dropout`/`--input_dropout` are honored regardless
+    of the caller."""
+    if rng is None:
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), ts.step)
+
     def loss_fn(p):
-        return lm_loss(p, cfg, inputs, targets, state)
+        return lm_loss(p, cfg, inputs, targets, state, rng, is_training=True)
 
     (loss, final_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         ts.params)

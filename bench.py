@@ -22,6 +22,9 @@ import time
 
 import numpy as np
 
+
+from automatic_speech_recognition_tpu.utils.platform import honor_platform_env
+honor_platform_env()  # must run before the jax backend is frozen
 import jax
 import jax.numpy as jnp
 

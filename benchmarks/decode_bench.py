@@ -16,6 +16,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+from automatic_speech_recognition_tpu.utils.platform import honor_platform_env
+honor_platform_env()  # must run before the jax backend is frozen
 import jax
 import jax.numpy as jnp
 

@@ -26,6 +26,9 @@ import sys
 
 import numpy as np
 
+
+from automatic_speech_recognition_tpu.utils.platform import honor_platform_env
+honor_platform_env()  # must run before the jax backend is frozen
 from automatic_speech_recognition_tpu.config import parse_args
 from automatic_speech_recognition_tpu.data.audio_io import read_audio
 from automatic_speech_recognition_tpu.ops import augmentation

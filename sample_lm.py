@@ -16,6 +16,9 @@ import sys
 import logging
 
 import numpy as np
+
+from automatic_speech_recognition_tpu.utils.platform import honor_platform_env
+honor_platform_env()  # must run before the jax backend is frozen
 import jax
 
 from automatic_speech_recognition_tpu.models import char_rnn

@@ -17,6 +17,9 @@ import logging
 import os
 import sys
 
+
+from automatic_speech_recognition_tpu.utils.platform import honor_platform_env
+honor_platform_env()  # must run before the jax backend is frozen
 import jax
 import numpy as np
 

@@ -100,3 +100,50 @@ def test_sample_seq_greedy_deterministic():
     # regression: sampling with start_ids but NO rng must not crash
     d = char_rnn.sample_seq(params, cfg, 5, [1, 2], max_prob=False)
     assert len(d) == 5
+
+
+def test_dropout_changes_training_and_is_identity_at_eval():
+    """--dropout/--input_dropout must regularize training (reference:
+    lang/char_rnn_model.py:82-85, :114-115) and do nothing at eval."""
+    base = make_cfg(embedding_size=6)
+    drop = base.replace(dropout=0.5, input_dropout=0.3)
+    rng = np.random.default_rng(0)
+    inputs = rng.integers(0, 10, (3, 4)).astype(np.int32)
+    targets = rng.integers(0, 10, (3, 4)).astype(np.int32)
+    state = char_rnn.zero_state(base, 3)
+
+    ts0 = char_rnn.create_lm_train_state(jax.random.PRNGKey(0), base)
+    ts1 = char_rnn.create_lm_train_state(jax.random.PRNGKey(0), drop)
+    key = jax.random.PRNGKey(7)
+    _, loss_plain, _ = char_rnn.lm_train_step(ts0, inputs, targets, state,
+                                              base, key)
+    _, loss_drop, _ = char_rnn.lm_train_step(ts1, inputs, targets, state,
+                                             drop, key)
+    assert abs(float(loss_plain) - float(loss_drop)) > 1e-6
+    # different rng -> different dropout mask -> different loss
+    _, loss_drop2, _ = char_rnn.lm_train_step(
+        ts1, inputs, targets, state, drop, jax.random.PRNGKey(8))
+    assert abs(float(loss_drop) - float(loss_drop2)) > 1e-6
+    # eval path ignores dropout entirely
+    e0, _ = char_rnn.lm_eval_loss(ts0.params, inputs, targets, state, base)
+    e1, _ = char_rnn.lm_eval_loss(ts1.params, inputs, targets, state, drop)
+    np.testing.assert_allclose(float(e0), float(e1), rtol=1e-6)
+
+
+def test_no_input_dropout_on_one_hot():
+    """embedding_size <= 0 forces input_dropout to 0
+    (lang/char_rnn_model.py:30-34): with cell dropout also 0, training is
+    bit-identical to the undropped model."""
+    onehot = make_cfg(embedding_size=0)
+    dropped = onehot.replace(input_dropout=0.9)
+    assert dropped.effective_input_dropout == 0.0
+    rng = np.random.default_rng(1)
+    inputs = rng.integers(0, 10, (3, 4)).astype(np.int32)
+    targets = rng.integers(0, 10, (3, 4)).astype(np.int32)
+    state = char_rnn.zero_state(onehot, 3)
+    ts0 = char_rnn.create_lm_train_state(jax.random.PRNGKey(0), onehot)
+    ts1 = char_rnn.create_lm_train_state(jax.random.PRNGKey(0), dropped)
+    key = jax.random.PRNGKey(5)
+    _, l0, _ = char_rnn.lm_train_step(ts0, inputs, targets, state, onehot, key)
+    _, l1, _ = char_rnn.lm_train_step(ts1, inputs, targets, state, dropped, key)
+    assert float(l0) == float(l1)

@@ -21,6 +21,9 @@ import signal
 import sys
 import time
 
+
+from automatic_speech_recognition_tpu.utils.platform import honor_platform_env
+honor_platform_env()  # must run before the jax backend is frozen
 import jax
 import numpy as np
 

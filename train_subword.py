@@ -13,6 +13,9 @@ import logging
 import os
 import sys
 
+
+from automatic_speech_recognition_tpu.utils.platform import honor_platform_env
+honor_platform_env()  # must run before the jax backend is frozen
 from automatic_speech_recognition_tpu.config import build_parser
 from automatic_speech_recognition_tpu.utils.tokenizer import (
     SPECIAL_TOKENS, train_subword_tokenizer)
