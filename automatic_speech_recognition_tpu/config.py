@@ -133,6 +133,12 @@ class Config:
     # compat switch: False = accumulate RAW decoder logits like the
     # reference (las/beam_search.py:123-124); True = proper log-softmax
     beam_logprob: bool = False
+    # training decoder runs ~max(tokenlen) scan steps per batch like the
+    # reference (las/las.py:246-249) instead of always max_tokenlen: token
+    # padding rounds the batch max up to token_pad_quantum (few static jit
+    # shapes per bucket, several-fold less decoder compute on short buckets)
+    per_bucket_tokenlen: bool = True
+    token_pad_quantum: int = 32
 
     # ---- TPU-native knobs (no reference equivalent) ----
     dtype: str = "float32"                # compute dtype: 'float32' | 'bfloat16'

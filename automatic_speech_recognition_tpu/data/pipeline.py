@@ -103,6 +103,19 @@ class BucketedLoader:
             if not self.is_training:
                 return
 
+    def _token_pad(self, items) -> int:
+        """Static token width for this batch: the batch max rounded up to
+        token_pad_quantum (capped at max_tokenlen).  The reference runs
+        dec_steps = max(tokenlen) per batch (las/las.py:246-249); rounding
+        to a quantum keeps the number of distinct jit shapes per bucket
+        small while skipping most of the wasted decoder scan steps."""
+        if not self.cfg.per_bucket_tokenlen:
+            return self.max_tokenlen
+        q = max(1, self.cfg.token_pad_quantum)
+        actual = max(r.tokenlen(i) for r, i, _ in items)
+        actual = min(max(actual, 1), self.max_tokenlen)
+        return min(self.max_tokenlen, -(-actual // q) * q)
+
     def _assemble(self, items, pad_frames: int) -> Batch:
         """Materialize one padded batch.  Native path: one memcpy per record
         straight from the shard mmap into the batch buffers."""
@@ -111,7 +124,7 @@ class BucketedLoader:
         D, C = r0.feat_dim, r0.channels
         audio = np.zeros((B, pad_frames, D, C), np.float32)
         audiolen = np.zeros((B,), np.int32)
-        toks = np.zeros((B, self.max_tokenlen), np.int32)
+        toks = np.zeros((B, self._token_pad(items)), np.int32)
         toklen = np.zeros((B,), np.int32)
         if self.native:
             for row, (r, i, _) in enumerate(items):

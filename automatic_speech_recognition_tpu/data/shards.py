@@ -97,6 +97,9 @@ class ShardReader:
     def featlen(self, i: int) -> int:
         return struct.unpack_from("<I", self._mm, int(self._offsets[i]))[0]
 
+    def tokenlen(self, i: int) -> int:
+        return struct.unpack_from("<I", self._mm, int(self._offsets[i]) + 4)[0]
+
     def close(self):
         self._mm.close()
         self._f.close()

@@ -95,14 +95,19 @@ def train_multi_step(ts: TrainState, batches, cfg: Config, dec_steps: int):
     tunneled dev platforms the host round-trips the TrainState between
     chained dispatches (measured 2.3 s/step vs 15 ms of real compute), and
     on any platform it removes K-1 dispatches.  Returns the final state
-    and per-step losses.
+    and the full per-step metrics dict (leading K axis on every value) —
+    the same lr/tf_rate/grad_norm/sample fields as single-step, so
+    multi-step dispatch loses no observability (reference logs these
+    every step, train.py:114-126).
     """
     def one(ts, batch):
-        new_ts, loss, _, _, _ = _apply_update(ts, batch, cfg, dec_steps)
-        return new_ts, loss
+        new_ts, loss, logits, alphas, grads = _apply_update(ts, batch, cfg,
+                                                            dec_steps)
+        return new_ts, _full_metrics(cfg, ts.step, loss, logits, alphas,
+                                     grads)
 
-    ts, losses = jax.lax.scan(one, ts, batches)
-    return ts, losses
+    ts, metrics = jax.lax.scan(one, ts, batches)
+    return ts, metrics
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dec_steps"))
@@ -116,8 +121,7 @@ def eval_forward(params, bn_state, audio, audiolen, cfg: Config,
     return logits, jnp.argmax(logits, -1)
 
 
-def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config,
-                         dec_steps: int):
+def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config):
     """Compile train_step as ONE SPMD program over a ('data','model') mesh.
 
     Params/opt-state are sharded by the tensor-parallel rule
@@ -125,6 +129,11 @@ def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config,
     activation shardings and inserts the gradient psum over ICI — the
     TPU-native replacement for the reference's single hardcoded GPU
     (train.py:23).  Returns (jitted_step, sharded_state, shard_batch_fn).
+
+    dec_steps is taken from the batch's (static) token width at trace
+    time, so per-bucket token padding runs ~max(tokenlen) decoder steps
+    like the reference (las/las.py:246-249); each distinct bucket shape
+    compiles once.
     """
     from ..parallel import sharding as sh
 
@@ -132,6 +141,7 @@ def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config,
     batch_sh = sh.batch_shardings(mesh, tuple(batch), cfg.data_axis)
 
     def step_fn(ts, batch):
+        dec_steps = batch[2].shape[1]  # static under jit
         new_ts, loss, logits, alphas, grads = _apply_update(ts, batch, cfg,
                                                             dec_steps)
         return new_ts, _full_metrics(cfg, ts.step, loss, logits, alphas,

@@ -26,7 +26,7 @@ honor_platform_env()  # must run before the jax backend is frozen
 from automatic_speech_recognition_tpu.config import parse_args
 from automatic_speech_recognition_tpu.data import shards
 
-logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+logging.basicConfig(force=True, stream=sys.stdout, level=logging.INFO,
                     format="%(asctime)s [%(levelname)s] %(message)s")
 log = logging.getLogger("create_shards")
 

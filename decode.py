@@ -37,7 +37,7 @@ from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
 
 from create_shards import load_cat_feats
 
-logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+logging.basicConfig(force=True, stream=sys.stdout, level=logging.INFO,
                     format="%(asctime)s [%(levelname)s] %(message)s")
 log = logging.getLogger("decode")
 

@@ -36,7 +36,7 @@ from automatic_speech_recognition_tpu.ops import frontend
 from automatic_speech_recognition_tpu.utils.text import strip_punctuation
 from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
 
-logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+logging.basicConfig(force=True, stream=sys.stdout, level=logging.INFO,
                     format="%(asctime)s [%(levelname)s] %(message)s")
 log = logging.getLogger("preprocess")
 

@@ -24,7 +24,7 @@ import jax
 from automatic_speech_recognition_tpu.models import char_rnn
 from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
 
-logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+logging.basicConfig(force=True, stream=sys.stdout, level=logging.INFO,
                     format="%(asctime)s [%(levelname)s] %(message)s")
 log = logging.getLogger("sample_lm")
 

@@ -35,7 +35,7 @@ from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
 
 def main(argv=None):
     cfg = parse_args(argv)
-    logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+    logging.basicConfig(force=True, stream=sys.stdout, level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
     log = logging.getLogger("test")
 

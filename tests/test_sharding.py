@@ -60,7 +60,7 @@ def test_sharded_step_matches_single_device(rng):
     mesh = make_mesh(num_devices=8, num_partitions=2)
     ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn, sharded_ts, shard_batch = trainer.make_mesh_train_step(
-        mesh, ts, batch, cfg, dec_steps=8)
+        mesh, ts, batch, cfg)
     _, m = step_fn(sharded_ts, shard_batch(batch))
     losses["sharded"] = float(m["loss"])
     np.testing.assert_allclose(losses["single"], losses["sharded"],

@@ -103,3 +103,45 @@ def test_train_test_cli_roundtrip(tmp_path, rng):
     assert np.isfinite(wer) and wer >= 0.0
     assert os.path.exists(d + "/log/test_pred.txt")
     assert os.path.exists(d + "/log/test_gt.txt")
+
+
+def test_short_token_padding_preserves_loss(rng):
+    """Per-bucket decoder lengths must not change the loss: extra padded
+    decoder steps are fully masked, so a (B, 8)-token batch and the same
+    batch padded to (B, 40) produce identical losses."""
+    cfg = Config(**TINY)
+    audio, audiolen, ys, yslen = make_batch(rng)
+    ys_wide = np.zeros((ys.shape[0], 40), np.int32)
+    ys_wide[:, :ys.shape[1]] = ys
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    _, m_short = trainer.train_step(ts, (audio, audiolen, ys, yslen), cfg,
+                                    dec_steps=8)
+    ts2 = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    _, m_wide = trainer.train_step(ts2, (audio, audiolen, ys_wide, yslen),
+                                   cfg, dec_steps=40)
+    np.testing.assert_allclose(float(m_short["loss"]), float(m_wide["loss"]),
+                               rtol=1e-5)
+
+
+def test_multi_step_dispatch_full_metrics(rng):
+    """train_multi_step must report the same per-step metrics fields as
+    single-step mode (reference logs lr/tf-rate/samples every step,
+    train.py:114-126) and the same losses as K chained single steps."""
+    cfg = Config(**TINY)
+    batch = make_batch(rng)
+    K = 3
+    stacked = tuple(np.stack([b] * K) for b in batch)
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    _, metrics = trainer.train_multi_step(ts, stacked, cfg, dec_steps=8)
+    for key in ("loss", "lr", "tf_rate", "grad_norm", "sample_ids",
+                "sample_alphas"):
+        assert key in metrics and metrics[key].shape[0] == K, key
+    assert np.all(np.isfinite(np.asarray(metrics["lr"])))
+    # chained single steps produce the same per-step losses
+    ts2 = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    singles = []
+    for _ in range(K):
+        ts2, m = trainer.train_step(ts2, batch, cfg, dec_steps=8)
+        singles.append(float(m["loss"]))
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), singles,
+                               rtol=1e-5)

@@ -42,7 +42,7 @@ from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
 
 def setup_logging(verbose: int = 0):
     logging.basicConfig(
-        stream=sys.stdout, level=logging.INFO,
+        force=True, stream=sys.stdout, level=logging.INFO,
         format="%(asctime)s [%(levelname)s] %(message)s")
     return logging.getLogger("train")
 
@@ -93,7 +93,7 @@ def main(argv=None):
     it = iter(loader)
     first = next(it)
     step_fn, ts, shard_batch = trainer.make_mesh_train_step(
-        mesh, ts, first, cfg, dec_steps=int(first[2].shape[1]))
+        mesh, ts, first, cfg)
 
     def feed():
         yield first
@@ -139,11 +139,11 @@ def main(argv=None):
         # stack on host, transfer once (jit moves it in a single put)
         stacked = tuple(np.stack([b[i] for b in group])
                         for i in range(len(group[0])))
-        ts, losses = trainer.train_multi_step(
+        ts, metrics = trainer.train_multi_step(
             ts, stacked, cfg, int(group[0][2].shape[1]))
-        return len(group), {"loss": losses[-1], "lr": np.nan,
-                            "tf_rate": np.nan, "grad_norm": np.nan,
-                            "sample_ids": None, "sample_alphas": None}
+        # report the LAST step of the dispatch (full observability parity
+        # with single-step mode; reference logs per step, train.py:114-126)
+        return len(group), jax.tree_util.tree_map(lambda x: x[-1], metrics)
 
     for batch in batches:
         if stop_requested:

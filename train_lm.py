@@ -32,7 +32,7 @@ from automatic_speech_recognition_tpu.models import char_rnn
 from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
 from automatic_speech_recognition_tpu.utils.text import clean_lm_text, lm_vocab
 
-logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+logging.basicConfig(force=True, stream=sys.stdout, level=logging.INFO,
                     format="%(asctime)s [%(levelname)s] %(message)s")
 log = logging.getLogger("train_lm")
 

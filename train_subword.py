@@ -20,7 +20,7 @@ from automatic_speech_recognition_tpu.config import build_parser
 from automatic_speech_recognition_tpu.utils.tokenizer import (
     SPECIAL_TOKENS, train_subword_tokenizer)
 
-logging.basicConfig(stream=sys.stdout, level=logging.INFO,
+logging.basicConfig(force=True, stream=sys.stdout, level=logging.INFO,
                     format="%(asctime)s [%(levelname)s] %(message)s")
 log = logging.getLogger("train_subword")
 
