@@ -139,6 +139,12 @@ class Config:
     # shapes per bucket, several-fold less decoder compute on short buckets)
     per_bucket_tokenlen: bool = True
     token_pad_quantum: int = 32
+    # compat switch for the reference's CTC sparse-label off-by-one: its
+    # `tf.where(...)[:-1]` drops the batch's FINAL non-PAD label (usually
+    # the last utterance's <EOS>) from the CTC targets (las/las.py:338).
+    # False (default) = correct labels; True = reproduce the quirk so
+    # CTC-trained checkpoints can be parity-compared.
+    ctc_compat_drop_last: bool = False
 
     # ---- TPU-native knobs (no reference equivalent) ----
     dtype: str = "float32"                # compute dtype: 'float32' | 'bfloat16'

@@ -357,9 +357,19 @@ def attention_loss(logits, y, cfg: Config) -> jnp.ndarray:
 
 def ctc_loss(ctc_logits, y, enc_len, cfg: Config) -> jnp.ndarray:
     """CTC over encoder frames; blank id = vocab_size, matching
-    tf.nn.ctc_loss's num_classes-1 blank (reference: las/las.py:335-349)."""
+    tf.nn.ctc_loss's num_classes-1 blank (reference: las/las.py:335-349).
+
+    cfg.ctc_compat_drop_last reproduces the reference's sparse-conversion
+    off-by-one: `tf.where(not_equal(labels,0))[:-1]` (las/las.py:338)
+    silently removes the batch's final non-PAD label (row-major order,
+    i.e. the last utterance's trailing token, usually its <EOS>)."""
     import optax
     B, T, _ = ctc_logits.shape
+    if cfg.ctc_compat_drop_last:
+        flat = y.reshape(-1)
+        pos = jnp.where(flat != 0, jnp.arange(flat.size), -1)
+        last = jnp.max(pos)  # -1 when the batch is all PAD
+        y = jnp.where(jnp.arange(flat.size) == last, 0, flat).reshape(y.shape)
     logit_pad = 1.0 - L.length_mask(enc_len, T)
     label_pad = (y == 0).astype(jnp.float32)
     per_seq = optax.ctc_loss(ctc_logits, logit_pad, y, label_pad,

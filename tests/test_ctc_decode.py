@@ -70,3 +70,26 @@ def test_ctc_head_learns_separable_problem(rng):
         if got[:L] != want:
             errors += 1
     assert errors <= 2, (errors, np.asarray(toks)[:3], ys[:3])
+
+
+def test_ctc_compat_drop_last_quirk(rng):
+    """ctc_compat_drop_last reproduces the reference's sparse off-by-one
+    (las/las.py:338): the loss equals computing correct CTC on labels with
+    the batch's final non-PAD token manually removed."""
+    import jax.numpy as jnp
+    B, T, V = 3, 12, CFG.vocab_size
+    logits = jnp.asarray(rng.standard_normal((B, T, V + 1)), jnp.float32)
+    enc_len = jnp.asarray([12, 10, 8], jnp.int32)
+    y = np.zeros((B, 6), np.int32)
+    y[0, :4] = [3, 4, 5, 2]
+    y[1, :3] = [6, 7, 2]
+    y[2, :5] = [3, 3, 4, 5, 2]
+    quirk = float(las.ctc_loss(logits, jnp.asarray(y), enc_len,
+                               CFG.replace(ctc_compat_drop_last=True)))
+    y_ref = y.copy()
+    y_ref[2, 4] = 0  # last non-PAD of the last row removed
+    manual = float(las.ctc_loss(logits, jnp.asarray(y_ref), enc_len, CFG))
+    np.testing.assert_allclose(quirk, manual, rtol=1e-6)
+    # default path is unaffected
+    correct = float(las.ctc_loss(logits, jnp.asarray(y), enc_len, CFG))
+    assert abs(correct - quirk) > 1e-6
