@@ -1,31 +1,100 @@
 """Data augmentation: speed and volume perturbation.
 
 The reference shells out to sox per file (`sox in.flac out.flac speed 0.9`,
-utils/augmentation.py:6-31), re-rendering the whole corpus to disk.  The
-TPU-native equivalent is a resampler applied to the waveform in memory —
-sox's `speed` effect IS a sample-rate change (pitch and tempo shift
-together), i.e. reading the signal at `speed` times the original rate.
+utils/augmentation.py:6-31), re-rendering the whole corpus to disk.  sox's
+`speed` effect IS a sample-rate change (pitch and tempo shift together):
+the output reads the signal at `speed` times the original rate, rendered
+through sox's bandlimited (windowed-sinc polyphase) resampler.
 
-Implemented as linear-interpolation resampling (NumPy for the host
-preprocessing path, jnp-compatible math), plus the volume scaler the
-reference has but keeps commented out (utils/augmentation.py:33-56,
-README.md:26).
+The TPU-native equivalent here resamples the waveform in memory with the
+same signal-processing class as sox: the speed factor is approximated by a
+rational up/down ratio and the signal is interpolated through a
+Kaiser-windowed sinc low-pass (cutoff at the narrower of the two Nyquist
+rates, so upsampling images AND downsampling aliases are suppressed),
+then decimated.  A `quality="linear"` mode keeps the cheap
+linear-interpolation path (round-1 behavior) for comparison; the alias
+suppression of the sinc path vs linear is pinned by test
+(tests/test_aux_subsystems.py).
+
+Volume perturbation is the scaler the reference has but keeps commented
+out (utils/augmentation.py:33-56, README.md:26).
 """
 
 from __future__ import annotations
 
+from fractions import Fraction
 from typing import List, Sequence
 
 import numpy as np
 
+# Kaiser design: beta 8.6 gives ~90 dB stopband with enough taps;
+# 16 zero crossings per side at the wider rate keeps transition narrow.
+_KAISER_BETA = 8.6
+_NUM_ZEROS = 16
 
-def speed_perturb(signal: np.ndarray, speed: float) -> np.ndarray:
-    """Resample so the utterance plays `speed` times faster (sox `speed`).
 
-    Output length = floor(len / speed); linear interpolation between
-    neighbouring samples.
+def _rational_speed(speed: float, max_den: int = 100) -> Fraction:
+    """speed = down/up as a reduced fraction (0.9 -> 9/10: upsample 10,
+    decimate 9; output length ~ len/speed)."""
+    if speed <= 0:
+        raise ValueError(f"speed must be positive, got {speed}")
+    return Fraction(speed).limit_denominator(max_den)
+
+
+def design_resample_filter(up: int, down: int) -> np.ndarray:
+    """Kaiser-windowed sinc low-pass for polyphase up/down resampling.
+
+    Designed at the upsampled rate: cutoff = min(1/up, 1/down) of that
+    rate's Nyquist (anti-image for upsampling, anti-alias for
+    decimation), gain `up` to preserve amplitude through zero-stuffing.
+    Odd length 2H+1, centered (zero-phase after delay compensation).
+    """
+    c = min(1.0 / up, 1.0 / down)
+    H = _NUM_ZEROS * max(up, down)
+    n = np.arange(-H, H + 1)
+    h = c * np.sinc(c * n) * np.kaiser(2 * H + 1, _KAISER_BETA)
+    return (up * h).astype(np.float64)
+
+
+def _resample_sinc(signal: np.ndarray, up: int, down: int,
+                   n_out: int) -> np.ndarray:
+    """Bandlimited rational resampling: polyphase FIR interpolation to the
+    up-rate (scipy.signal.upfirdn's C kernel; no zero-stuffed array is
+    materialized), then strided decimation with the filter's group delay
+    compensated exactly."""
+    from scipy.signal import upfirdn
+
+    h = design_resample_filter(up, down)
+    H = (len(h) - 1) // 2
+    # full interpolated stream f[k] = (zero-stuffed x * h)[k]; value at
+    # upsampled position p is f[p + H]
+    f = upfirdn(h, signal.astype(np.float64), up=up, down=1)
+    pos = H + np.arange(n_out, dtype=np.int64) * down
+    pos = pos[pos < len(f)]
+    out = np.zeros(n_out, np.float64)
+    out[:len(pos)] = f[pos]
+    return out
+
+
+def speed_perturb(signal: np.ndarray, speed: float,
+                  quality: str = "sinc") -> np.ndarray:
+    """Resample so the utterance plays `speed` times faster (sox `speed`
+    semantics: pitch and tempo scale together; a tone at f comes out at
+    f*speed).  Output length = floor(len / speed).
+
+    quality: 'sinc' (default) = Kaiser-windowed sinc polyphase, the
+    sox-fidelity path; 'linear' = 2-tap linear interpolation (cheap,
+    aliases high frequencies).
     """
     n_out = int(len(signal) / speed)
+    if quality == "sinc":
+        frac = _rational_speed(speed)
+        down, up = frac.numerator, frac.denominator
+        if up == down:
+            return signal.astype(signal.dtype, copy=True)
+        return _resample_sinc(signal, up, down, n_out).astype(signal.dtype)
+    if quality != "linear":
+        raise ValueError(f"unknown quality {quality!r}")
     pos = np.arange(n_out) * speed
     i0 = np.minimum(pos.astype(np.int64), len(signal) - 1)
     i1 = np.minimum(i0 + 1, len(signal) - 1)

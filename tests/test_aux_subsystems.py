@@ -80,3 +80,30 @@ def test_parse_args_reference_flags():
     assert cfg.batch_size == 96 and cfg.mode == "loc"
     assert cfg.scheduled_sampling is False
     assert cfg.bucket_batch_sizes == (8, 4, 4)
+
+
+def test_sinc_resampler_alias_suppression():
+    """The sox-fidelity path must be bandlimited: spurious components of a
+    resampled high tone stay >= 60 dB below the peak and >= 40 dB below
+    the linear-interpolation path's aliases
+    (reference renders through sox, utils/augmentation.py:16-28)."""
+    fs = 16000
+    t = np.arange(fs) / fs
+    tone = np.sin(2 * np.pi * 6000.0 * t).astype(np.float32)
+
+    def spur_db(y, f_expect):
+        w = np.hanning(len(y))
+        S = np.abs(np.fft.rfft(y * w))
+        freqs = np.fft.rfftfreq(len(y), 1 / fs)
+        pk = np.argmax(S)
+        assert abs(freqs[pk] - f_expect) < 5.0, (freqs[pk], f_expect)
+        mask = np.abs(freqs - freqs[pk]) > 30
+        return 20 * np.log10(S[mask].max() / S[pk])
+
+    for speed in (0.9, 1.1):
+        sinc = spur_db(augmentation.speed_perturb(tone, speed, "sinc"),
+                       6000.0 * speed)
+        lin = spur_db(augmentation.speed_perturb(tone, speed, "linear"),
+                      6000.0 * speed)
+        assert sinc <= -60.0, sinc
+        assert sinc <= lin - 40.0, (sinc, lin)
