@@ -83,8 +83,17 @@ def _triangle(x, left, middle, right):
 
 def mel_filterbank(num_filters: int, coefficients: int, sample_rate: int,
                    low_freq: float = 0.0, high_freq: float | None = None) -> np.ndarray:
-    """speechpy filterbanks(): NOTE the (coefficients + 1) quirk."""
+    """speechpy filterbanks(): NOTE two quirks.
+
+    1. The bin indices use (coefficients + 1) — see module docstring.
+    2. Upstream defaults low_freq via `low_freq = low_freq or 300`, so the
+       0.0 that mfe passes down is COERCED TO 300 Hz: the reference's
+       filterbanks actually start at 300 Hz (caught by the speechpy
+       transcription conformance tests, tests/test_frontend_golden.py;
+       round-1 code wrongly started them at 0 Hz).
+    """
     high_freq = high_freq or sample_rate / 2
+    low_freq = low_freq or 300
     mels = np.linspace(frequency_to_mel(low_freq), frequency_to_mel(high_freq),
                        num_filters + 2)
     hertz = mel_to_frequency(mels)
