@@ -107,3 +107,56 @@ def test_sinc_resampler_alias_suppression():
                       6000.0 * speed)
         assert sinc <= -60.0, sinc
         assert sinc <= lin - 40.0, (sinc, lin)
+
+
+def test_formant_synth_produces_phonetic_structure():
+    """The corpus synthesizer must produce distinct, stable acoustics per
+    phone class: fricative energy high, vowel energy low, correct F1
+    ordering (utils/formant_synth.py feeds tools/synth_corpus.py)."""
+    from automatic_speech_recognition_tpu.utils import formant_synth as fsyn
+
+    def centroid(phone):
+        sig = fsyn.synth_phones([phone] * 3, fsyn.Speaker(),
+                                np.random.default_rng(2))
+        mid = sig[len(sig) // 3:2 * len(sig) // 3]
+        S = np.abs(np.fft.rfft(mid)) ** 2
+        f = np.fft.rfftfreq(len(mid), 1 / 16000)
+        return float((S * f).sum() / S.sum())
+
+    assert centroid("S") > 4500
+    assert 2500 < centroid("SH") < 4500
+    assert centroid("IY") < centroid("AA") < 1500  # F1 ordering
+    sig = fsyn.synth_phones(["HH", "EH", "L", "OW"], fsyn.Speaker(),
+                            np.random.default_rng(0))
+    assert sig.dtype == np.float32 and 0.2 < np.abs(sig).max() <= 1.0
+    # speakers differ audibly (different f0 -> different waveforms)
+    a = fsyn.synth_phones(["AA"], fsyn.Speaker(f0_base=100),
+                          np.random.default_rng(1))
+    b = fsyn.synth_phones(["AA"], fsyn.Speaker(f0_base=220),
+                          np.random.default_rng(1))
+    n = min(len(a), len(b))
+    assert np.abs(a[:n] - b[:n]).max() > 0.01
+
+
+def test_synth_corpus_lexicon_is_complete():
+    """Every word producible by the sentence grammar must have a
+    pronunciation, and every phone must exist in the inventory."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "synth_corpus", os.path.join(os.path.dirname(__file__), os.pardir,
+                                     "tools", "synth_corpus.py"))
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+    from automatic_speech_recognition_tpu.utils.formant_synth import PHONES
+    vocab = set(sc.NOUNS + sc.VERBS + sc.ADJS + sc.PRONOUNS + sc.PREPS
+                + sc.ADVS + sc.NUMS
+                + ["THE", "A", "AND", "OF", "THAT", "WAS", "THERE", "WHEN"])
+    for w in vocab:
+        assert w in sc.LEXICON, f"missing pronunciation: {w}"
+    for w, pron in sc.LEXICON.items():
+        for ph in pron.split():
+            assert ph in PHONES, f"{w}: unknown phone {ph}"
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        for word in sc.make_sentence(rng).split():
+            assert word in sc.LEXICON, word
