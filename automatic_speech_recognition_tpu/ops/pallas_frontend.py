@@ -1,32 +1,49 @@
-"""Pallas TPU kernel: fused acoustic-frontend tile
-(framing -> real-DFT -> power spectrum -> mel -> log -> DCT/c0).
+"""Pallas TPU kernel: the WHOLE acoustic frontend fused per utterance
+(framing -> DFT -> power spectrum -> mel -> log/DCT -> masked CMVN ->
+derivative stacking), with an overlap-reuse DFT that does ~5x less MXU
+work than the naive framed matmul.
 
-Why a kernel: the XLA path (ops/frontend.py) materializes the framed
-signal — a (B, T, flen) gather that inflates HBM traffic ~flen/fstride x
-(2.5x for 25ms/10ms) before the DFT matmul reads it back.  Here each grid
-step DMAs only its raw audio slice into VMEM, builds the overlapped frames
-IN VMEM with static reshapes (no gather at all), and runs the whole
-matmul chain (MXU) without touching HBM until the final (TF, D) feature
-tile is written.
+Design (one grid step = one utterance, everything VMEM-resident):
 
-Frame construction trick: with hop `fstride` and window `flen`, the
-(TF, flen) frame matrix is `ceil(flen/fstride)` NON-overlapping reshapes
-of the same 1-D buffer, shifted by k*fstride and column-clipped — pure
-layout ops, MXU-friendly, no dynamic indexing.
+1.  **Shared-subsegment DFT.** Frames overlap flen/fstride = 2.5x, so the
+    naive (T, flen) @ (flen, K) DFT recomputes every sample's
+    contribution 2.5x.  Instead the signal is cut into g-sample
+    subsegments (g = gcd(flen, fstride) = 80): each frame is J = flen/g
+    consecutive subsegments, and
+        X_t[k] = sum_j  w_N^(g*j*k) * A_(step*t+j)[k],
+    where A_h is the subsegment DFT (one small (Tseg, g) @ (g, K) matmul
+    per residue group) and the twiddle combine is cheap VPU work.  MXU
+    FLOPs drop by flen/g = 5x; the math is exact (float reassociation
+    only).
+2.  **Mel-support column pruning.** The speechpy filterbank occupies only
+    bins [lo, hi] (~126 of 257 at 16 kHz — the (coefficients+1) quirk plus
+    the 300 Hz floor), so the DFT computes only those columns, plus two
+    analytic columns (X_0 = sum x, X_{N/2} = alternating sum) that give
+    the exact frame energy via Parseval:
+        sum_{k=0..N/2} |X_k|^2 = (N*sum x^2 + X_0^2 + X_{N/2}^2) / 2.
+    With the 2 energy columns the lane count lands exactly on 128.
+3.  **Fused normalization.** Masked per-utterance CMVN (featlen comes in
+    through scalar prefetch) and the speechpy feature-axis derivative
+    stack run in VMEM on the (T, D) features; the only HBM traffic is
+    raw audio in and the final (T, 3D) features out — the XLA path
+    (ops/frontend.py) materializes the 2.5x-inflated frame matrix and
+    the intermediate feature tensors in HBM between kernels.
 
-The kernel consumes two consecutive audio blocks (current + lookahead,
-clamped at the end) so frames crossing the tile boundary stay in VMEM.
-CMVN and the derivative stack need whole-utterance statistics and stay in
-XLA (ops/frontend.masked_cmvn / stack_derivatives).
+Falls back to the XLA path (see ops/frontend.extract_features) when the
+static frame budget exceeds MAX_FRAMES (VMEM) — LibriSpeech train (1710
+frames max, create_tfrecord.py:28) fits; only >20.5 s eval batches fall
+back.
 
-Reference semantics preserved: 1/fft_length power scaling, zero->eps
-handling, c0 = log(total energy) (speechpy conventions; see
-ops/frontend_host.py and reference preprocess.py:72-86).
+Reference semantics preserved bit-close (tests/test_pallas_frontend.py,
+tests/test_frontend_golden.py): 1/N power scaling, zero->eps handling,
+c0 = log(total energy), CMVN eps 2^-30, derivative quirk
+(speechpy conventions; reference preprocess.py:72-86).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -35,111 +52,213 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 EPS_ZERO = float(np.finfo(np.float64).eps)
-FRAME_TILE = 128  # frames per grid step (MXU sublane-friendly)
+EPS_CMVN = 2.0 ** -30
+MAX_FRAMES = 2048        # whole-utterance VMEM budget (~6 MB at 128 lanes)
+_LANE = 128
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _frontend_kernel(*refs, flen: int, fstride: int, fft_length: int,
-                     feat_type: str):
-    *seg_refs, cos_ref, sin_ref, mel_ref, dct_ref, out_ref = refs
-    # assemble overlapped frames from the pre-shaped shifted segments
-    # (Mosaic has no cross-lane reshape; the (TF, fstride) layout comes in
-    # from XLA, the kernel only concatenates lanes)
-    parts = []
-    for k, s in enumerate(seg_refs):
-        width = min(fstride, flen - k * fstride)
-        parts.append(s[0, :, :width])
-    frames = jnp.concatenate(parts, axis=1)         # (TF, flen)
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
 
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    ps = (re * re + im * im) * (1.0 / fft_length)   # (TF, K)
 
-    mel = jnp.dot(ps, mel_ref[:], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+@functools.lru_cache(maxsize=8)
+def _plan(flen: int, fstride: int, fft_length: int, feat_dim: int,
+          feat_type: str, num_mel_filters: int, sample_rate: int):
+    """Constant matrices for the fused kernel (NumPy, cached).
+
+    Returns dict with: g, J, step, K (=lanes), i0/i1 (energy cols),
+    C/S (g, K) subsegment DFT, PC/PS (J, K) twiddles, MEL (K, F),
+    DCT (F, feat_dim).
+    """
+    from . import frontend_host as host
+
+    assert fft_length % 2 == 0
+    g = math.gcd(flen, fstride)
+    assert g % 2 == 0, "subsegment length must be even for the X_{N/2} column"
+    J, step = flen // g, fstride // g
+
+    n_filters = num_mel_filters if feat_type == "mfcc" else feat_dim
+    fb = host.mel_filterbank(n_filters, fft_length // 2 + 1, sample_rate,
+                             0, sample_rate / 2)          # (F, coeffs)
+    support = np.nonzero(fb.sum(axis=0))[0]
+    lo, hi = int(support.min()), int(support.max())
+    Ksup = hi - lo + 1
+    K = _round_up(Ksup + 2, _LANE)
+    i0, i1 = Ksup, Ksup + 1                                # energy columns
+
+    n = np.arange(g)[:, None]
+    k_bins = np.arange(lo, hi + 1)[None, :]
+    ang = 2.0 * np.pi * n * k_bins / fft_length
+    C = np.zeros((g, K), np.float32)
+    S = np.zeros((g, K), np.float32)
+    C[:, :Ksup] = np.cos(ang)
+    S[:, :Ksup] = np.sin(ang)
+    C[:, i0] = 1.0                                         # X_0 column
+    C[:, i1] = np.where(np.arange(g) % 2 == 0, 1.0, -1.0)  # X_{N/2} column
+
+    j = np.arange(J)[:, None]
+    phi = 2.0 * np.pi * g * j * k_bins / fft_length        # (J, Ksup)
+    PC = np.zeros((J, K), np.float32)
+    PS = np.zeros((J, K), np.float32)
+    PC[:, :Ksup] = np.cos(phi)
+    PS[:, :Ksup] = np.sin(phi)
+    PC[:, i0] = 1.0
+    PC[:, i1] = 1.0   # w^(g*j*N/2) = (-1)^(g*j) = 1 for even g
+
+    MEL = np.zeros((K, n_filters), np.float32)
+    MEL[:Ksup, :] = fb.T[lo:hi + 1, :]
+    DCT = (host.dct_matrix(n_filters, feat_dim).astype(np.float32)
+           if feat_type == "mfcc" else np.zeros((n_filters, feat_dim),
+                                                np.float32))
+    return dict(g=g, J=J, step=step, K=K, i0=i0, i1=i1, Ksup=Ksup,
+                C=C, S=S, PC=PC, PS=PS, MEL=MEL, DCT=DCT)
+
+
+def _deltas(x: jnp.ndarray) -> jnp.ndarray:
+    """speechpy feature-axis derivative (edge-padded lanes):
+    (x[j+1] - x[j-1] + 2 x[j+2] - x[j-2]) / 10 on (T, D)."""
+    D = x.shape[-1]
+    p = jnp.concatenate([x[:, :1], x[:, :1], x, x[:, D - 1:], x[:, D - 1:]],
+                        axis=1)
+    return (p[:, 3:3 + D] - p[:, 1:1 + D]
+            + 2.0 * p[:, 4:4 + D] - p[:, 0:D]) / 10.0
+
+
+def _fused_kernel(featlen_ref, *refs, plan, T_pad: int, fft_length: int,
+                  feat_type: str, apply_cmvn: bool, feat_dim: int):
+    seg_refs = refs[:plan["step"]]
+    C_ref, S_ref, PC_ref, PS_ref, MEL_ref, DCT_ref, out_ref = \
+        refs[plan["step"]:]
+    step, J, K = plan["step"], plan["J"], plan["K"]
+    N = float(fft_length)
+    hp = jax.lax.Precision.HIGHEST
+
+    Ac, As, q = [], [], []
+    for r in range(step):
+        seg = seg_refs[r][0]                         # (Tseg, g)
+        Ac.append(jnp.dot(seg, C_ref[:], preferred_element_type=jnp.float32,
+                          precision=hp))
+        As.append(jnp.dot(seg, S_ref[:], preferred_element_type=jnp.float32,
+                          precision=hp))
+        q.append(jnp.sum(seg * seg, axis=1, keepdims=True))  # (Tseg, 1)
+
+    Xre = jnp.zeros((T_pad, K), jnp.float32)
+    Xim = jnp.zeros((T_pad, K), jnp.float32)
+    E = jnp.zeros((T_pad, 1), jnp.float32)
+    for j in range(J):
+        r, off = j % step, j // step
+        ac = Ac[r][off:off + T_pad]
+        as_ = As[r][off:off + T_pad]
+        pc = PC_ref[j:j + 1, :]
+        ps_ = PS_ref[j:j + 1, :]
+        Xre = Xre + ac * pc - as_ * ps_
+        Xim = Xim + ac * ps_ + as_ * pc
+        E = E + q[r][off:off + T_pad]
+
+    ps = (Xre * Xre + Xim * Xim) * (1.0 / N)          # (T_pad, K)
+    # Parseval: ps energy cols hold X_0^2/N and X_{N/2}^2/N
+    energy = 0.5 * E[:, 0] + 0.5 * (ps[:, plan["i0"]] + ps[:, plan["i1"]])
+
+    mel = jnp.dot(ps, MEL_ref[:], preferred_element_type=jnp.float32,
+                  precision=hp)
     mel = jnp.where(mel == 0, EPS_ZERO, mel)
     if feat_type == "mfcc":
-        feat = jnp.dot(jnp.log(mel), dct_ref[:],
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        energy = jnp.sum(ps, axis=-1, keepdims=True)
+        feat = jnp.dot(jnp.log(mel), DCT_ref[:],
+                       preferred_element_type=jnp.float32, precision=hp)
         energy = jnp.where(energy == 0, EPS_ZERO, energy)
-        feat = jnp.concatenate([jnp.log(energy), feat[:, 1:]], axis=1)
-    else:  # fbank
-        feat = mel
-    out_ref[0, :, :] = feat
+        feat = jnp.concatenate([jnp.log(energy)[:, None], feat[:, 1:]],
+                               axis=1)
+    else:
+        feat = mel                                    # (T_pad, D)
+
+    if apply_cmvn:
+        fl = featlen_ref[pl.program_id(0)]
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (T_pad, 1), 0)
+                < fl).astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(mask), 1.0)
+        mean = jnp.sum(feat * mask, axis=0, keepdims=True) / n
+        cen = (feat - mean) * mask
+        var = jnp.sum(cen * cen, axis=0, keepdims=True) / n
+        fn = cen / (jnp.sqrt(var) + EPS_CMVN)
+        d1 = _deltas(fn)
+        d2 = _deltas(d1)
+        out_ref[0] = jnp.concatenate([fn, d1, d2], axis=1)  # (T_pad, 3D)
+    else:
+        out_ref[0] = feat
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("flen", "fstride", "fft_length", "feat_dim",
                      "feat_type", "num_mel_filters", "sample_rate",
-                     "interpret"))
-def pallas_frontend(audio: jnp.ndarray, *, flen: int, fstride: int,
-                    fft_length: int, feat_dim: int, feat_type: str,
-                    num_mel_filters: int, sample_rate: int = 16000,
-                    interpret: bool = False) -> jnp.ndarray:
-    """(B, S) padded audio -> (B, T_tiles*FRAME_TILE, feat_dim) raw features.
-
-    Caller handles featlen masking, CMVN and derivative stacking.
-    """
+                     "frames_max", "apply_cmvn", "interpret"))
+def fused_frontend(audio: jnp.ndarray, featlen: jnp.ndarray, *, flen: int,
+                   fstride: int, fft_length: int, feat_dim: int,
+                   feat_type: str, num_mel_filters: int, sample_rate: int,
+                   frames_max: int, apply_cmvn: bool,
+                   interpret: bool = False) -> jnp.ndarray:
+    """(B, S) padded audio + (B,) frame counts -> (B, frames_max, 3*D)
+    CMVN'd+delta-stacked features ((B, frames_max, D) raw if cmvn off)."""
+    plan = _plan(flen, fstride, fft_length, feat_dim, feat_type,
+                 num_mel_filters, sample_rate)
+    g, J, step = plan["g"], plan["J"], plan["step"]
     B, S = audio.shape
-    tile_samples = FRAME_TILE * fstride
-    n_tiles = _cdiv(max(S - flen, 1), tile_samples)
-    nseg = _cdiv(flen, fstride)
-    pad_to = n_tiles * tile_samples + nseg * fstride  # lookahead room
-    audio = jnp.pad(audio.astype(jnp.float32), ((0, 0), (0, pad_to - S)))
+    T_pad = _round_up(max(frames_max, 8), 8)
+    Tseg = _round_up(T_pad + _cdiv(J - 1, step), 8)
+    need = g * step * (Tseg + 1)                     # what the reshape reads
+    audio = jnp.pad(audio.astype(jnp.float32), ((0, 0), (0, max(0, need - S))))
+    subs = audio[:, :g * step * (Tseg + 1)].reshape(B, Tseg + 1, step * g)
+    segs = [subs[:, :Tseg, r * g:(r + 1) * g] for r in range(step)]
 
-    # shifted segment views, pre-shaped to (B, T_pad, fstride) in XLA
-    # (layout-only reshapes; see module docstring)
-    T_pad = n_tiles * FRAME_TILE
-    segs = [audio[:, k * fstride:k * fstride + T_pad * fstride]
-            .reshape(B, T_pad, fstride) for k in range(nseg)]
+    kernel = functools.partial(
+        _fused_kernel, plan=plan, T_pad=T_pad, fft_length=fft_length,
+        feat_type=feat_type, apply_cmvn=apply_cmvn, feat_dim=feat_dim)
+    out_dim = 3 * feat_dim if apply_cmvn else feat_dim
+    full = lambda b, *_: (0, 0)
+    consts = [plan["C"], plan["S"], plan["PC"], plan["PS"], plan["MEL"],
+              plan["DCT"]]
+    Ksup_f = plan["MEL"].shape[1]
 
-    from . import frontend as _f  # shared constant-matrix builders
-    C, Sm = _f._dft_matrices(flen, fft_length)
-    n_filters = num_mel_filters if feat_type == "mfcc" else feat_dim
-    M = _f._mel_matrix(n_filters, fft_length, sample_rate)
-    D = _f._dct_matrix(n_filters, feat_dim) if feat_type == "mfcc" else \
-        np.zeros((n_filters, feat_dim), np.float32)
-
-    kernel = functools.partial(_frontend_kernel, flen=flen, fstride=fstride,
-                               fft_length=fft_length, feat_type=feat_type)
-    full = lambda i, j: (0, 0)
-    seg_spec = pl.BlockSpec((1, FRAME_TILE, fstride), lambda b, t: (b, t, 0),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, n_tiles),
-        in_specs=[seg_spec] * nseg + [
-            pl.BlockSpec((flen, fft_length // 2 + 1), full,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((flen, fft_length // 2 + 1), full,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((fft_length // 2 + 1, n_filters), full,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_filters, feat_dim), full,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, FRAME_TILE, feat_dim),
-                               lambda b, t: (b, t, 0),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, Tseg, g), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)] * step + [
+            pl.BlockSpec(c.shape, full, memory_space=pltpu.VMEM)
+            for c in consts],
+        out_specs=pl.BlockSpec((1, T_pad, out_dim), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T_pad, feat_dim), jnp.float32),
+    )
+    feats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T_pad, out_dim), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * T_pad
-            * (flen * (fft_length + 2) + (fft_length // 2 + 1) * n_filters
-               + n_filters * feat_dim),
-            bytes_accessed=4 * B * (nseg * pad_to + T_pad * feat_dim),
-            transcendentals=B * T_pad * (n_filters + 1),
+            flops=2 * B * (step * Tseg * g * plan["K"]
+                           + T_pad * plan["K"] * Ksup_f
+                           + T_pad * Ksup_f * feat_dim),
+            bytes_accessed=4 * B * (step * Tseg * g + T_pad * out_dim),
+            transcendentals=B * T_pad * (Ksup_f + 1),
         ),
-    )(*segs, jnp.asarray(C), jnp.asarray(Sm), jnp.asarray(M),
-      jnp.asarray(D))
-    return out
+    )(featlen.astype(jnp.int32), *segs, *[jnp.asarray(c) for c in consts])
+    return feats[:, :frames_max]
 
 
+def suitable(frames_max: int, backend: str) -> bool:
+    """Whether the fused whole-utterance kernel applies (VMEM budget)."""
+    return frames_max <= MAX_FRAMES
+
+
+# Backwards-compatible name: the tiled raw-feature kernel was replaced by
+# the fused whole-utterance kernel in round 2.
+def pallas_frontend(*args, **kw):  # pragma: no cover - compat shim
+    raise NotImplementedError(
+        "pallas_frontend was replaced by fused_frontend (round 2); "
+        "use ops.frontend.extract_features(use_pallas=True)")

@@ -64,10 +64,12 @@ def bench_device(audio):
     audiolen = jnp.full((audio.shape[0],), audio.shape[1], jnp.int32)
     x = jnp.asarray(audio)
 
+    use_pallas = jax.default_backend() == "tpu"  # production default path
+
     def run():
         f, fl = frontend.extract_features(
             x, audiolen, sample_rate=SAMPLE_RATE, feat_dim=FEAT_DIM,
-            feat_type="mfcc", apply_cmvn=True)
+            feat_type="mfcc", apply_cmvn=True, use_pallas=use_pallas)
         return f
 
     def loop(n):
