@@ -72,6 +72,8 @@ def train_bench(quick: bool):
              jnp.full((B,), T, jnp.int32),
              jnp.asarray(rng.integers(1, 30, (B, L)), jnp.int32),
              jnp.full((B,), L, jnp.int32))
+    K = 8  # steps per dispatch: ONE device call runs K optimizer steps
+    stacked = tuple(jnp.stack([b] * K) for b in batch)
     for dtype in ("float32", "bfloat16"):
         cfg = Config(unit="char", vocab_size=30, feat_dim=13, enc_type="cnn",
                      attention_size=128, mode="add", dropout_rate=0.0,
@@ -83,14 +85,19 @@ def train_bench(quick: bool):
         loss0 = float(jax.device_get(m["loss"]))
         print(f"{dtype}: compile+first {time.perf_counter()-t0:.1f}s "
               f"loss {loss0:.4f}")
+        # chained single steps measure the TUNNEL, not the chip: feeding a
+        # dispatch's output TrainState back as input round-trips hundreds
+        # of MB through the host on this dev platform (CLAUDE.md).  The
+        # production path (--steps_per_dispatch) scans K steps per
+        # dispatch; time that and report per-step cost.
+        ts2, metrics = trainer.train_multi_step(ts, stacked, cfg, L)
+        float(jax.device_get(metrics["loss"][-1]))  # compile
         t0 = time.perf_counter()
-        n = 5
-        for _ in range(n):
-            ts, m = trainer.train_step(ts, batch, cfg, dec_steps=L)
-        loss = float(jax.device_get(m["loss"]))  # forces the whole chain
-        dt = (time.perf_counter() - t0) / n
+        _, metrics = trainer.train_multi_step(ts2, stacked, cfg, L)
+        loss = float(jax.device_get(metrics["loss"][-1]))  # forces chain
+        dt = (time.perf_counter() - t0) / K
         print(f"{dtype}: {dt*1e3:.1f} ms/step ({B/dt:.1f} utt/s) "
-              f"loss {loss:.4f}")
+              f"loss {loss:.4f}  [K={K} steps/dispatch]")
 
 
 if __name__ == "__main__":

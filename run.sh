@@ -45,6 +45,16 @@ common_flags="--unit $unit --feat_type $feat_type --feat_dim $feat_dim \
 
 run_stage() { [[ "$stage" == "all" || "$stage" == "$1" ]]; }
 
+# optional stage (NOT in "all"): synthesize a speech corpus when the
+# LibriSpeech download is unavailable (no egress) — see
+# benchmarks/WER_SYNTH.md for a full recipe + measured WERs on it
+if [[ "$stage" == "synth" ]]; then
+  echo "=== stage: synthesize formant-speech corpus ==="
+  python3 tools/synth_corpus.py --out data/synth \
+    --train_utts 4000 --dev_utts 300 --test_utts 300
+  exit 0
+fi
+
 if run_stage subword; then
   echo "=== stage: train subword tokenizer (bpe-$size) ==="
   python3 train_subword.py $common_flags --size $size
