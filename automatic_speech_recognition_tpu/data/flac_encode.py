@@ -55,8 +55,24 @@ class BitWriter:
 
 
 def _utf8_number(bw: BitWriter, n: int):
-    assert n < 128, "fixture supports < 128 frames"
-    bw.write(n, 8)
+    """FLAC's UTF-8-style frame number coding (spec allows up to 36 bits,
+    i.e. streams far beyond the 128 frames the original test fixture
+    capped at)."""
+    if n < 0x80:
+        bw.write(n, 8)
+        return
+    assert n < (1 << 36), "FLAC frame number exceeds 36 bits"
+    # total bytes B in 2..7; capacity = (7 - B) + 6 * (B - 1) data bits
+    for B in range(2, 8):
+        if n < (1 << ((7 - B) + 6 * (B - 1))):
+            break
+    cont = [(n >> (6 * i)) & 0x3F for i in range(B - 1)]  # low -> high
+    lead_bits = 7 - B
+    lead_mark = (0xFF << (8 - B)) & 0xFF  # B ones then a zero
+    bw.write(lead_mark | (n >> (6 * (B - 1))) & ((1 << lead_bits) - 1)
+             if lead_bits else lead_mark, 8)
+    for t in reversed(cont):
+        bw.write(0x80 | t, 8)
 
 
 def _rice_residual(bw: BitWriter, residual: Sequence[int], param: int,

@@ -33,9 +33,13 @@ _KAISER_BETA = 8.6
 _NUM_ZEROS = 16
 
 
-def _rational_speed(speed: float, max_den: int = 100) -> Fraction:
+def _rational_speed(speed: float, max_den: int = 1000) -> Fraction:
     """speed = down/up as a reduced fraction (0.9 -> 9/10: upsample 10,
-    decimate 9; output length ~ len/speed)."""
+    decimate 9; output length ~ len/speed).
+
+    max_den 1000 keeps the rate error below 5e-7 relative for arbitrary
+    factors and makes common sample-rate ratios exact (e.g. 11025/16000
+    = 441/640)."""
     if speed <= 0:
         raise ValueError(f"speed must be positive, got {speed}")
     return Fraction(speed).limit_denominator(max_den)
@@ -66,14 +70,22 @@ def _resample_sinc(signal: np.ndarray, up: int, down: int,
 
     h = design_resample_filter(up, down)
     H = (len(h) - 1) // 2
+    x = signal.astype(np.float64)
+    # extend the input so every requested output position exists in the
+    # interpolated stream (the trailing samples then decay through the
+    # sinc tail instead of being zero-filled)
+    last_pos = H + (n_out - 1) * down           # upsampled index needed
+    have = (len(x) - 1) * up + len(h) - 1       # last index upfirdn yields
+    if last_pos > have:
+        x = np.pad(x, (0, _cdiv_pos(last_pos - have, up)))
     # full interpolated stream f[k] = (zero-stuffed x * h)[k]; value at
     # upsampled position p is f[p + H]
-    f = upfirdn(h, signal.astype(np.float64), up=up, down=1)
-    pos = H + np.arange(n_out, dtype=np.int64) * down
-    pos = pos[pos < len(f)]
-    out = np.zeros(n_out, np.float64)
-    out[:len(pos)] = f[pos]
-    return out
+    f = upfirdn(h, x, up=up, down=1)
+    return f[H + np.arange(n_out, dtype=np.int64) * down]
+
+
+def _cdiv_pos(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def speed_perturb(signal: np.ndarray, speed: float,

@@ -153,7 +153,7 @@ def extract_features(audio: jnp.ndarray, audiolen: jnp.ndarray, *,
 
     if use_pallas:
         from . import pallas_frontend as pk
-        if not pk.suitable(frames_max, jax.default_backend()):
+        if not pk.suitable(frames_max):
             use_pallas = False  # whole-utterance VMEM budget exceeded
     if use_pallas:
         interpret = jax.default_backend() != "tpu"

@@ -251,8 +251,10 @@ def fused_frontend(audio: jnp.ndarray, featlen: jnp.ndarray, *, flen: int,
     return feats[:, :frames_max]
 
 
-def suitable(frames_max: int, backend: str) -> bool:
-    """Whether the fused whole-utterance kernel applies (VMEM budget)."""
+def suitable(frames_max: int) -> bool:
+    """Whether the fused whole-utterance kernel applies (VMEM budget).
+    The non-TPU fallback is decided by the caller (extract_features_cfg
+    keeps CPU production paths on XLA; tests force interpret mode)."""
     return frames_max <= MAX_FRAMES
 
 

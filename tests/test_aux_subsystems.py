@@ -160,3 +160,18 @@ def test_synth_corpus_lexicon_is_complete():
     for _ in range(200):
         for word in sc.make_sentence(rng).split():
             assert word in sc.LEXICON, word
+
+
+def test_sinc_resampler_exact_ratio_and_live_tail():
+    """Sample-rate ratios within den<=1000 resolve exactly (11025/16000 =
+    441/640) and the output tail is interpolated, not zero-filled."""
+    from fractions import Fraction
+    frac = augmentation._rational_speed(11025.0 / 16000.0)
+    assert (frac.numerator, frac.denominator) == (441, 640)
+    fs = 16000
+    t = np.arange(int(fs * 1.3)) / fs
+    tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    out = augmentation.speed_perturb(tone, 11025.0 / 16000.0)
+    assert len(out) == int(len(tone) / (11025.0 / 16000.0))
+    # the final samples carry signal (previously silently zeroed)
+    assert np.abs(out[-40:]).max() > 0.05

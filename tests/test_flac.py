@@ -128,3 +128,19 @@ def test_read_audio_dispatch(tmp_path, rng):
     p.write_bytes(encode_flac([pcm], subframe_kind="fixed1"))
     sig, rate = read_audio(str(p))
     assert rate == 16000 and len(sig) == 500
+
+
+def test_long_stream_frame_numbers(tmp_path, rng):
+    """FLAC UTF-8-style frame numbering past the old 128-frame fixture cap
+    (multi-byte numbers), verified through the native decoder."""
+    from automatic_speech_recognition_tpu.data import flac
+    pcm = np.clip(rng.standard_normal(200 * 256) * 8000,
+                  -32768, 32767).astype(np.int32)
+    p = str(tmp_path / "long.flac")
+    with open(p, "wb") as f:
+        f.write(encode_flac([pcm], sample_rate=16000, blocksize=256,
+                            subframe_kind="verbatim"))
+    back, fs = flac.read_flac(p)
+    assert fs == 16000 and len(back) == len(pcm)
+    np.testing.assert_array_equal(
+        np.round(back * 32768.0).astype(np.int64), pcm)

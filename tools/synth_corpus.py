@@ -228,8 +228,8 @@ def make_sentence(rng: np.random.Generator) -> str:
 
 
 def text_to_phones(text: str) -> list:
-    """Transcript -> phone list (lexicon lookup, short pause between
-    words with small probability to mimic phrasing)."""
+    """Transcript -> phone list: lexicon lookup with a short (45 ms) SP
+    pause between every word pair."""
     phones = []
     for i, word in enumerate(text.split()):
         if i:
@@ -248,6 +248,11 @@ def write_flac(path: str, sig: np.ndarray) -> None:
 
 def synth_split(out_dir: str, split: str, speakers, n_utts: int,
                 seed: int, utts_per_chapter: int = 50) -> None:
+    if os.path.exists(os.path.join(out_dir, split)):
+        raise SystemExit(
+            f"{out_dir}/{split} already exists — transcripts are written "
+            f"in append mode, so re-running would duplicate every line; "
+            f"remove the directory (or pick a fresh --out) first")
     rng = np.random.default_rng(seed)
     t0 = time.time()
     done = 0
