@@ -111,3 +111,49 @@ def test_pipeline_learns_tone_language(corpus):
 
     assert wer_greedy < 0.30, (wer_greedy, hyps[:5], texts[:5])
     assert wer_beam < 0.30, (wer_beam, hyps_beam[:5], texts[:5])
+
+
+def test_synth_speech_learnability(rng):
+    """Formant-synthesized SPEECH (not tones) through the real frontend
+    must be learnable: a tiny LAS overfits 12 two-word utterances.
+    Locks the synthesizer -> frontend -> training loop end to end."""
+    from automatic_speech_recognition_tpu.utils import formant_synth as fsyn
+    from automatic_speech_recognition_tpu.ops import frontend
+    from automatic_speech_recognition_tpu.utils.tokenizer import CharEncoder
+
+    words = {"GO": "G OW", "UP": "AH P", "RED": "R EH D", "SEA": "S IY"}
+    tok = CharEncoder()
+    texts = []
+    sigs = []
+    g = np.random.default_rng(0)
+    names = list(words)
+    for i in range(12):
+        pair = (names[i % 4], names[(i // 4 + 1) % 4])
+        texts.append(" ".join(pair))
+        phones = words[pair[0]].split() + ["SP"] + words[pair[1]].split()
+        sigs.append(fsyn.synth_phones(phones, fsyn.Speaker(), g))
+    S = max(len(s) for s in sigs)
+    audio = np.zeros((12, S), np.float32)
+    alen = np.zeros((12,), np.int32)
+    for i, s in enumerate(sigs):
+        audio[i, :len(s)] = s
+        alen[i] = len(s)
+    feats, featlen = frontend.extract_features(audio, alen, feat_dim=8)
+    ys = np.zeros((12, 10), np.int32)
+    yslen = np.zeros((12,), np.int32)
+    for i, t in enumerate(texts):
+        ids = tok.encode(t, with_eos=True)
+        ys[i, :len(ids)] = ids
+        yslen[i] = len(ids)
+    cfg = Config(unit="char", vocab_size=30, feat_dim=8, enc_type="cnn",
+                 enc_units=16, num_enc_channels=4, num_enc_layers=1,
+                 dec_units=16, num_dec_layers=1, embedding_size=8,
+                 attention_size=8, mode="add", dropout_rate=0.0,
+                 scheduled_sampling=False, label_smoothing=False, lr=5e-3)
+    batch = (np.asarray(feats), np.asarray(featlen), ys, yslen)
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    losses = []
+    for _ in range(70):
+        ts, m = trainer.train_step(ts, batch, cfg, dec_steps=10)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < 0.35 * losses[0], (losses[0], losses[-1])
