@@ -38,14 +38,22 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, epoch: int, state: Any) -> None:
+    def save(self, epoch: int, state: Any, block: bool = True) -> None:
         """Save, overwriting an existing checkpoint for the same epoch
         (tf.train.Saver semantics: resuming and re-saving epoch N must not
-        crash; orbax raises StepAlreadyExistsError by default)."""
+        crash; orbax raises StepAlreadyExistsError by default).
+
+        block=False lets orbax persist to disk asynchronously so the train
+        loop continues immediately (the caller passes HOST arrays via
+        jax.device_get, so there is no donated-device-buffer hazard); any
+        in-flight save is drained first, and close()/the next save
+        synchronize before touching manager state."""
+        self._mgr.wait_until_finished()  # drain a previous async save
         if epoch in self._mgr.all_steps():
             self._mgr.delete(epoch)
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
+        if block:
+            self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -57,6 +65,7 @@ class CheckpointManager:
         train.py:84); else the given epoch (`--restore_epoch`, test.py:81-86).
         Returns None if nothing to restore.
         """
+        self._mgr.wait_until_finished()  # a just-issued async save counts
         step = self.latest_epoch() if epoch < 0 else epoch
         if step is None or step not in self._mgr.all_steps():
             return None
@@ -68,4 +77,5 @@ class CheckpointManager:
         return self._mgr.all_steps()
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

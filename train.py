@@ -194,7 +194,8 @@ def main(argv=None):
         if global_step % steps_per_epoch < n_done:
             epoch = global_step // steps_per_epoch
             with timers.stage("checkpoint"):
-                ckpt.save(epoch, jax.device_get(ts))
+                # non-blocking: orbax persists to disk while training goes on
+                ckpt.save(epoch, jax.device_get(ts), block=False)
             log.info("saved epoch %d -> %s", epoch, cfg.save_dir)
 
     if profiling:  # run ended before the stop step; close the trace
@@ -203,6 +204,7 @@ def main(argv=None):
     if global_step % steps_per_epoch and not stop_requested:
         ckpt.save(max(1, global_step // steps_per_epoch + 1),
                   jax.device_get(ts))
+    ckpt.close()  # drain any in-flight async save before exit
     log.info("done at step %d; timers: %s", global_step, timers.report())
     writer.close()
 
