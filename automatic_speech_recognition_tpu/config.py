@@ -171,6 +171,10 @@ class Config:
     # trades ~2x decoder FLOPs for O(T) less activation memory — for the
     # long buckets (1710 frames) at full model size
     remat: bool = False
+    # unroll factor for the sequential RNN/decoder lax.scans: >1 trades
+    # compile time + code size for fewer loop iterations (XLA pipelines
+    # the unrolled bodies, hiding per-iteration loop overhead)
+    scan_unroll: int = 1
     # non-empty: capture a jax.profiler trace of training steps 10-20
     # into this directory (tracing subsystem; reference has none)
     profile_dir: str = ""

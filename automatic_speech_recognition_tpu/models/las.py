@@ -116,7 +116,7 @@ def _cnn_listener(params, state, audio, audiolen, cfg, is_training, drop_key):
         if drop_key is not None:
             drop_key, sub = jax.random.split(drop_key)
             x = L.dropout(sub, x, cfg.dropout_rate, is_training)
-        x, _ = L.birnn_apply(lp["birnn"], x)
+        x, _ = L.birnn_apply(lp["birnn"], x, unroll=cfg.scan_unroll)
         x = L.dense_apply(lp["proj"], x)
         if cfg.apply_bn:
             x, nls["bn_extra"] = L.bn_apply(lp["bn_extra"], ls["bn_extra"],
@@ -134,14 +134,14 @@ def _pblstm_listener(params, state, audio, audiolen, cfg, is_training, drop_key)
     if drop_key is not None:
         drop_key, sub = jax.random.split(drop_key)
         x = L.dropout(sub, x, cfg.dropout_rate, is_training)
-    x, _ = L.birnn_apply(params["birnn0"], x)
+    x, _ = L.birnn_apply(params["birnn0"], x, unroll=cfg.scan_unroll)
     x = jnp.tanh(L.dense_apply(params["proj0"], x))
     for i in range(cfg.num_enc_layers):
         lp = params[f"pyr_{i}"]
         if drop_key is not None:
             drop_key, sub = jax.random.split(drop_key)
             x = L.dropout(sub, x, cfg.dropout_rate, is_training)
-        x, _ = L.birnn_apply(lp["birnn"], x)
+        x, _ = L.birnn_apply(lp["birnn"], x, unroll=cfg.scan_unroll)
         t = x.shape[1]
         if t % 2:
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
@@ -282,7 +282,9 @@ def speller_apply(params, cfg: Config, enc_out, enc_len, dec_steps: int,
         return (states, emb, alphas, key), (logits, alphas)
 
     body = jax.checkpoint(step) if cfg.remat else step
-    _, (logits, alphas) = jax.lax.scan(body, init, teacher_t, length=dec_steps)
+    _, (logits, alphas) = jax.lax.scan(body, init, teacher_t,
+                                       length=dec_steps,
+                                       unroll=cfg.scan_unroll)
     return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(alphas, 0, 1)
 
 

@@ -125,7 +125,8 @@ def gru_cell_apply(p: Dict, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def rnn_scan(p: Dict, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
-             reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             reverse: bool = False, unroll: int = 1
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run a BasicRNN over time. xs: (B, T, D) -> (B, T, U), final h.
 
     TPU optimization: h' = tanh([x,h] @ W) == tanh(x @ W_x + h @ W_h + b),
@@ -145,7 +146,7 @@ def rnn_scan(p: Dict, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
         h = jnp.tanh(xw_t + h @ w_h)
         return h, h
 
-    hT, ys = jax.lax.scan(step, h0, xw, reverse=reverse)
+    hT, ys = jax.lax.scan(step, h0, xw, reverse=reverse, unroll=unroll)
     return jnp.swapaxes(ys, 0, 1), hT
 
 
@@ -155,7 +156,8 @@ def birnn_init(key, in_dim: int, units: int) -> Dict:
             "bw": rnn_cell_init(kb, in_dim, units)}
 
 
-def birnn_apply(p: Dict, xs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def birnn_apply(p: Dict, xs: jnp.ndarray, unroll: int = 1
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bidirectional vanilla RNN, fw+bw fused into one scan over a (2B)
     stacked batch, with the input projection for every timestep hoisted
     into one large MXU matmul before the scan (see rnn_scan).
@@ -180,7 +182,7 @@ def birnn_apply(p: Dict, xs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         h = jnp.tanh(xw_t + hh.reshape(2 * B, units))
         return h, h
 
-    hT, ys = jax.lax.scan(step, h0, xw)
+    hT, ys = jax.lax.scan(step, h0, xw, unroll=unroll)
     ys = jnp.swapaxes(ys, 0, 1)                           # (2B, T, U)
     out_fw, out_bw = ys[:B], jnp.flip(ys[B:], axis=1)
     return jnp.concatenate([out_fw, out_bw], -1), (hT[:B], hT[B:])

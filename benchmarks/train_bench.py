@@ -60,7 +60,7 @@ def scan_overhead():
           f" -> {per_iter*1e6:.1f} us/iter marginal")
 
 
-def train_bench(quick: bool):
+def train_bench(quick: bool, unroll: int = 1):
     B, T, L = 48, 512, 60
     size = dict(enc_units=256, num_enc_channels=32, num_enc_layers=2,
                 dec_units=512, num_dec_layers=2, embedding_size=128)
@@ -78,7 +78,7 @@ def train_bench(quick: bool):
         cfg = Config(unit="char", vocab_size=30, feat_dim=13, enc_type="cnn",
                      attention_size=128, mode="add", dropout_rate=0.0,
                      scheduled_sampling=False, apply_bn=False, lr=1e-4,
-                     dtype=dtype, **size)
+                     dtype=dtype, scan_unroll=unroll, **size)
         ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
         t0 = time.perf_counter()
         ts, m = trainer.train_step(ts, batch, cfg, dec_steps=L)
@@ -103,7 +103,11 @@ def train_bench(quick: bool):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the RNN/decoder scans")
+    ap.add_argument("--skip_scan_overhead", action="store_true")
     args = ap.parse_args()
     print("devices:", jax.devices())
-    scan_overhead()
-    train_bench(args.quick)
+    if not args.skip_scan_overhead:
+        scan_overhead()
+    train_bench(args.quick, unroll=args.unroll)

@@ -72,7 +72,9 @@ fi
 
 if run_stage train; then
   echo "=== stage: train LAS ($epoch epochs) ==="
-  python3 train.py $common_flags --epoch $epoch --scheduled_sampling False
+  # --scan_unroll 4: measured 15.3->12.7 ms/step f32 (benchmarks/RESULTS.md)
+  python3 train.py $common_flags --epoch $epoch --scheduled_sampling False \
+    --scan_unroll 4
 fi
 
 if run_stage test; then

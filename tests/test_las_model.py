@@ -129,3 +129,21 @@ def test_eval_forward_greedy():
     logits, y_hat = trainer.eval_forward(params, state, audio, audiolen, cfg, 7)
     assert y_hat.shape == (2, 7)
     assert logits.shape == (2, 7, cfg.vocab_size)
+
+
+def test_scan_unroll_is_exact():
+    """cfg.scan_unroll changes scheduling only, never the math: forward
+    logits at unroll 4 match unroll 1 (incl. a dec_steps not divisible
+    by the unroll factor)."""
+    cfg1 = tiny_cfg(enc_type="cnn", mode="loc")
+    cfg4 = cfg1.replace(scan_unroll=4)
+    params, state = las.las_init(jax.random.PRNGKey(0), cfg1)
+    audio, audiolen, y, _ = fake_batch(cfg1)
+    out = []
+    for cfg in (cfg1, cfg4):
+        logits, _, alphas, _, _ = las.las_forward(
+            params, state, audio, audiolen, cfg, dec_steps=7, teacher=None,
+            is_training=False)
+        out.append((np.asarray(logits), np.asarray(alphas)))
+    np.testing.assert_allclose(out[0][0], out[1][0], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(out[0][1], out[1][1], rtol=1e-6, atol=1e-6)
