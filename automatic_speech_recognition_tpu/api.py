@@ -70,10 +70,14 @@ class Recognizer:
         return cls(restored.params, restored.bn_state, cfg, tokenizer,
                    lm_params, lm_cfg)
 
-    def _features(self, signals: Sequence[np.ndarray]):
+    def _features(self, signals: Sequence[np.ndarray],
+                  pad_seconds: int = 0):
+        """pad_seconds > 0 pins the padded signal length (a jit shape key)
+        to a fixed bucket so repeated calls reuse one compiled program —
+        the serving path relies on this to bound compile churn."""
         maxlen = max(len(s) for s in signals)
         quantum = self.cfg.sample_rate  # 1 s shape quantization
-        S = -(-maxlen // quantum) * quantum
+        S = max(-(-maxlen // quantum), pad_seconds) * quantum
         audio = np.zeros((len(signals), S), np.float32)
         lens = np.zeros((len(signals),), np.int32)
         for i, s in enumerate(signals):
@@ -83,10 +87,11 @@ class Recognizer:
             jnp.asarray(audio), jnp.asarray(lens), self.cfg)
 
     def transcribe_signals(self, signals: Sequence[np.ndarray],
-                           beam_size: int = 0) -> List[str]:
+                           beam_size: int = 0,
+                           pad_seconds: int = 0) -> List[str]:
         """signals: float waveforms at cfg.sample_rate.
         beam_size 0/1 -> greedy; >1 -> on-device beam search."""
-        feats, featlen = self._features(signals)
+        feats, featlen = self._features(signals, pad_seconds)
         max_steps = max(int(self.cfg.convert_rate * feats.shape[1]), 1)
         if beam_size and beam_size > 1:
             res = beam_lib.beam_search(
