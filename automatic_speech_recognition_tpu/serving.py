@@ -129,6 +129,7 @@ class BatchingRecognizer:
         self._wake = threading.Event()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._accepting = False  # guarded by _lock; closed before the drain
 
     # -- lifecycle -----------------------------------------------------
 
@@ -136,12 +137,17 @@ class BatchingRecognizer:
         if self._thread is not None:
             raise RuntimeError("already started")
         self._stop.clear()
+        self._accepting = True
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="asr-batcher")
         self._thread.start()
         return self
 
     def stop(self) -> None:
+        # close the door first — submit() enqueues under the same lock, so
+        # after this no request can slip in behind the drain and hang
+        with self._lock:
+            self._accepting = False
         self._stop.set()
         self._wake.set()
         if self._thread is not None:
@@ -152,7 +158,8 @@ class BatchingRecognizer:
             pending = list(self._queue)
             self._queue.clear()
         for r in pending:
-            r.future.set_exception(RuntimeError("server stopped"))
+            if r.future.set_running_or_notify_cancel():
+                r.future.set_exception(RuntimeError("server stopped"))
 
     def __enter__(self) -> "BatchingRecognizer":
         return self.start()
@@ -162,12 +169,14 @@ class BatchingRecognizer:
 
     def warmup(self) -> None:
         """Compile every (bucket, max_batch) program up front so the first
-        real request never pays a compile."""
+        real request never pays a compile.  Warmup dispatches bypass the
+        stats reservoir — compile-time latencies and occupancy-1 batches
+        would otherwise skew /stats until real traffic dilutes them."""
         sr = self.rec.cfg.sample_rate
         for b in self.bucket_seconds:
             sig = np.zeros((b * sr,), np.float32)
             sig[0] = 1e-3  # non-silent so CMVN variance is sane
-            self._dispatch([_Request(sig, b)])
+            self._dispatch([_Request(sig, b)], record=False)
 
     # -- request path --------------------------------------------------
 
@@ -183,10 +192,10 @@ class BatchingRecognizer:
     def submit(self, signal: np.ndarray) -> Future:
         """Enqueue one waveform (float, cfg.sample_rate). Returns a Future
         resolving to the transcript string."""
-        if self._thread is None:
-            raise RuntimeError("not started")
         req = _Request(np.asarray(signal, np.float32), self._bucket_of(signal))
         with self._lock:
+            if not self._accepting:
+                raise RuntimeError("not started")
             self._queue.append(req)
         self._wake.set()
         return req.future
@@ -201,8 +210,10 @@ class BatchingRecognizer:
     def _take_batch(self) -> Tuple[List[_Request], float]:
         """Pop the batch to run now, or ([], sleep_hint_seconds).
 
-        Flush rule: any bucket with >= max_batch waiting, else the bucket
-        of the OLDEST request once it has waited max_wait_s."""
+        Flush rule: the bucket of the OLDEST request once it has waited
+        max_wait_s takes priority (so sustained load on other buckets can
+        never starve it past its deadline); otherwise any bucket with
+        >= max_batch waiting."""
         now = time.monotonic()
         with self._lock:
             if not self._queue:
@@ -213,10 +224,10 @@ class BatchingRecognizer:
             full = [b for b, rs in by_bucket.items()
                     if len(rs) >= self.max_batch]
             oldest = self._queue[0]
-            if full:
-                bucket = full[0]
-            elif now - oldest.t_submit >= self.max_wait_s:
+            if now - oldest.t_submit >= self.max_wait_s:
                 bucket = oldest.bucket
+            elif full:
+                bucket = full[0]
             else:
                 return [], self.max_wait_s - (now - oldest.t_submit)
             take = by_bucket[bucket][:self.max_batch]
@@ -225,8 +236,14 @@ class BatchingRecognizer:
                 r for r in self._queue if id(r) not in taken)
             return take, 0.0
 
-    def _dispatch(self, batch: List[_Request]) -> None:
+    def _dispatch(self, batch: List[_Request], record: bool = True) -> None:
         n = len(batch)
+        # a request cancelled while queued is dropped here; the call also
+        # marks live futures RUNNING so set_result below cannot race a
+        # late cancel (concurrent.futures state machine)
+        live = [r for r in batch if r.future.set_running_or_notify_cancel()]
+        if not live:
+            return
         signals = [r.signal for r in batch]
         # pad the batch up to max_batch by repetition: batch size stays one
         # jit key; the duplicate outputs are sliced off below
@@ -236,16 +253,20 @@ class BatchingRecognizer:
         try:
             texts = self.rec.transcribe_signals(
                 signals, beam_size=self.beam_size, pad_seconds=bucket)
-            self.stats.record_batch(n)
+            if record:
+                self.stats.record_batch(n)
             now = time.monotonic()
-            for r, t in zip(batch, texts[:n]):
-                r.future.set_result(t)
-                self.stats.record_request(now - r.t_submit)
+            by_req = dict(zip(map(id, batch), texts[:n]))
+            for r in live:
+                r.future.set_result(by_req[id(r)])
+                if record:
+                    self.stats.record_request(now - r.t_submit)
         except Exception as e:  # pragma: no cover - device failures
-            for r in batch:
+            for r in live:
                 if not r.future.done():
                     r.future.set_exception(e)
-                    self.stats.record_request(0.0, error=True)
+                    if record:
+                        self.stats.record_request(0.0, error=True)
 
     def _run(self) -> None:
         while not self._stop.is_set():

@@ -114,10 +114,21 @@ def make_handler(server: BatchingRecognizer, sample_rate: int):
                 body = self.rfile.read(n)
                 sig = decode_body(
                     body, self.headers.get("Content-Type", ""), sample_rate)
+            except Exception as e:
+                # bad payload (malformed JSON/audio, wrong rate, too long):
+                # the CLIENT's fault
+                self._reply(400, {"error": str(e)})
+                return
+            try:
                 text = server.transcribe(sig)
                 self._reply(200, {"text": text})
-            except Exception as e:
+            except ValueError as e:
+                # submit()'s oversize-signal rejection: client's fault
                 self._reply(400, {"error": str(e)})
+            except Exception as e:
+                # transcription-path failure (device error, shutdown): the
+                # SERVER's fault — 503 so balancers retry elsewhere
+                self._reply(503, {"error": str(e)})
 
         def log_message(self, fmt, *args):
             log.info("%s - %s", self.address_string(), fmt % args)

@@ -143,11 +143,85 @@ def test_real_model_end_to_end_through_the_batcher():
     assert snap["batches"] >= 2
 
 
-def test_warmup_compiles_every_bucket():
-    rec = tiny_recognizer()
-    srv = BatchingRecognizer(rec, max_batch=2, bucket_seconds=(1, 2))
+def test_warmup_compiles_every_bucket_without_polluting_stats():
+    fake = FakeRecognizer()
+    srv = BatchingRecognizer(fake, max_batch=2, bucket_seconds=(1, 2))
     srv.warmup()  # no .start() needed: dispatch runs inline
-    assert srv.stats.snapshot()["batches"] == 2
+    # one dispatch per bucket, padded to max_batch, pinned to the bucket
+    assert sorted(fake.calls) == [(2, 1), (2, 2)]
+    # warmup latencies (compile time!) must NOT enter the /stats reservoir
+    snap = srv.stats.snapshot()
+    assert snap["batches"] == 0 and snap["requests"] == 0
+
+    # and the real (tiny) model path still compiles+runs through warmup
+    srv2 = BatchingRecognizer(tiny_recognizer(), max_batch=2,
+                              bucket_seconds=(1,))
+    srv2.warmup()
+    assert srv2.stats.snapshot()["requests"] == 0
+
+
+def test_cancelled_future_does_not_poison_co_riders():
+    """A request cancelled while queued is dropped; its batch co-riders
+    still get their transcripts (set_running_or_notify_cancel guard)."""
+    fake = FakeRecognizer()
+    srv = BatchingRecognizer(fake, max_batch=4, max_wait_ms=60)
+    srv.start()
+    try:
+        f_cancel = srv.submit(np.zeros(SR // 2, np.float32))
+        assert f_cancel.cancel()  # still PENDING inside the wait window
+        riders = [srv.submit(np.zeros(SR // 2 + 1 + i, np.float32))
+                  for i in range(2)]
+        texts = [f.result(timeout=10) for f in riders]
+        assert texts == [f"len={SR // 2 + 1 + i}" for i in range(2)]
+    finally:
+        srv.stop()
+
+
+def test_submit_after_stop_raises_instead_of_hanging():
+    srv = BatchingRecognizer(FakeRecognizer()).start()
+    srv.stop()
+    with pytest.raises(RuntimeError, match="not started"):
+        srv.submit(np.zeros(SR, np.float32))
+
+
+def test_expired_request_beats_a_full_bucket():
+    """Sustained load on one bucket must not starve an aged request in
+    another bucket past its max_wait deadline."""
+    flushed = []
+
+    class Recording(FakeRecognizer):
+        def transcribe_signals(self, signals, beam_size=0, pad_seconds=0):
+            flushed.append(pad_seconds)
+            time.sleep(0.01)
+            return super().transcribe_signals(signals, beam_size,
+                                              pad_seconds)
+
+    srv = BatchingRecognizer(Recording(), max_batch=2, max_wait_ms=40,
+                             bucket_seconds=(1, 4))
+    lone = _make_lone_request(srv)
+    srv.start()
+    try:
+        # keep the 1s bucket permanently full while the lone 4s request ages
+        stop_feeding = time.monotonic() + 0.5
+        fast = []
+        while time.monotonic() < stop_feeding and not lone.future.done():
+            fast.append(srv.submit(np.zeros(SR // 2, np.float32)))
+            time.sleep(0.002)
+        assert lone.future.result(timeout=10) == f"len={2 * SR}"
+        for f in fast:
+            f.result(timeout=10)
+    finally:
+        srv.stop()
+    assert 4 in flushed  # the aged bucket was flushed despite full-bucket load
+
+
+def _make_lone_request(srv):
+    """Enqueue a 4s-bucket request before start() so it is oldest."""
+    from automatic_speech_recognition_tpu.serving import _Request
+    req = _Request(np.zeros(2 * SR, np.float32), 4)
+    srv._queue.append(req)
+    srv._accepting = True
+    return req
 
 
 def test_http_server_round_trip():
