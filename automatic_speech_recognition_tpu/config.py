@@ -84,6 +84,14 @@ class Config:
     warmup_step: int = 100000
     max_step: int = 500000
     min_rate: float = 0.4
+    # exponential LR decay (reference hardcodes these in las/las.py:351-369;
+    # promoted per the shadow-constant policy): hold lr until
+    # lr_decay_start, then halve (lr_decay_rate) every lr_decay_step steps,
+    # floored at lr_min_ratio * lr
+    lr_decay_start: int = 50000
+    lr_decay_step: int = 100000
+    lr_decay_rate: float = 0.5
+    lr_min_ratio: float = 0.01
 
     # ---- beam search (reference: las/arguments.py:172-187) ----
     convert_rate: float = 0.166

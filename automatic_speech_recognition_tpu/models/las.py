@@ -393,12 +393,16 @@ def total_loss(params, state, batch, cfg: Config, dec_steps, rng, step):
     return loss, (logits, alphas, new_state)
 
 
-def scheduled_learning_rate(cfg: Config, step, start=50000, decay_step=100000,
-                            decay_rate=0.5, min_rate=0.01):
-    """Exponential decay with floor (reference: las/las.py:351-369)."""
+def scheduled_learning_rate(cfg: Config, step):
+    """Exponential decay with floor (reference: las/las.py:351-369).
+
+    The reference hardcodes start=50k / decay_step=100k / rate=0.5 /
+    floor=0.01*lr; here they are config fields (same defaults) so short
+    training budgets can use a real schedule."""
     step = jnp.asarray(step, jnp.float32)
-    decayed = cfg.lr * decay_rate ** (jnp.maximum(step - start, 0.0) / decay_step)
-    return jnp.maximum(decayed, min_rate * cfg.lr)
+    decayed = cfg.lr * cfg.lr_decay_rate ** (
+        jnp.maximum(step - cfg.lr_decay_start, 0.0) / cfg.lr_decay_step)
+    return jnp.maximum(decayed, cfg.lr_min_ratio * cfg.lr)
 
 
 def num_params(params) -> int:

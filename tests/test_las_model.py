@@ -95,6 +95,12 @@ def test_scheduled_learning_rate():
     assert float(las.scheduled_learning_rate(cfg, 150000)) == pytest.approx(5e-5)
     # floor at 0.01 * lr
     assert float(las.scheduled_learning_rate(cfg, 10**7)) == pytest.approx(1e-6)
+    # promoted decay knobs (reference hardcodes them, las/las.py:351-369)
+    cfg2 = tiny_cfg(lr=1e-3, lr_decay_start=1000, lr_decay_step=2000,
+                    lr_decay_rate=0.5, lr_min_ratio=0.1)
+    assert float(las.scheduled_learning_rate(cfg2, 999)) == pytest.approx(1e-3)
+    assert float(las.scheduled_learning_rate(cfg2, 3000)) == pytest.approx(5e-4)
+    assert float(las.scheduled_learning_rate(cfg2, 10**7)) == pytest.approx(1e-4)
 
 
 def test_ctc_loss_runs():
