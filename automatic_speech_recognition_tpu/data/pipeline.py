@@ -78,6 +78,25 @@ class BucketedLoader:
     def num_records(self) -> int:
         return sum(len(r) for r in self._readers.values())
 
+    def batches_per_epoch(self) -> int:
+        """Optimizer steps per pass over the data, derived from per-bucket
+        record counts and the bucket batch-size table (the reference
+        hardcodes the equivalent number for ITS dataset: 2,619 for
+        train-100+360 at batches [96, 48x8], train.py:107-110).  Training
+        floors per bucket (partial batches carry across the epoch
+        boundary); eval ceils (leftovers flush as partial batches)."""
+        counts: dict = {}
+        for r in self._readers.values():
+            for i in range(len(r)):
+                b = bucket_of(r.featlen(i), self.boundaries)
+                if b is not None:
+                    counts[b] = counts.get(b, 0) + 1
+        total = 0
+        for b, c in counts.items():
+            bs = self.batch_sizes[min(b, len(self.batch_sizes) - 1)]
+            total += (c // bs) if self.is_training else -(-c // bs)
+        return max(total, 1)
+
     def batch_size_for(self, padded_len: int) -> Optional[int]:
         """Configured batch size of the bucket that pads to `padded_len`
         (the loader's own boundary->batch-size rule, for callers that pad

@@ -129,3 +129,27 @@ def test_per_bucket_token_padding(tmp_path, rng):
     cfg2 = cfg.replace(per_bucket_tokenlen=False)
     for batch in BucketedLoader(paths, cfg2, is_training=False):
         assert batch[2].shape[1] == 219
+
+
+def test_batches_per_epoch_derivation(tmp_path, rng):
+    """batches_per_epoch must equal per-bucket count // batch (train,
+    partial batches carry over) and ceil (eval, leftovers flush)."""
+    cfg = Config(bucket_boundaries_train=(16, 32, 64),
+                 bucket_boundaries_eval=(16, 32, 64),
+                 bucket_batch_sizes=(4, 4, 4), max_tokenlen_train=12,
+                 max_tokenlen_eval=12)
+    paths = _make_shards(tmp_path, rng)
+    train = BucketedLoader(paths, cfg, is_training=True)
+    ev = BucketedLoader(paths, cfg, is_training=False)
+    # ground truth straight from the shard index
+    counts = {}
+    for r in train._readers.values():
+        for i in range(len(r)):
+            b = bucket_of(r.featlen(i), (16, 32, 64))
+            counts[b] = counts.get(b, 0) + 1
+    want_train = sum(c // 4 for c in counts.values())
+    want_eval = sum(-(-c // 4) for c in counts.values())
+    assert train.batches_per_epoch() == max(want_train, 1)
+    assert ev.batches_per_epoch() == want_eval
+    # the eval derivation matches what one real pass actually yields
+    assert sum(1 for _ in ev) == want_eval

@@ -64,7 +64,17 @@ def main(argv=None):
     log.info("training records: %d in %d shards", loader.num_records,
              len(files))
 
-    steps_per_epoch = cfg.steps_per_epoch or cfg.num_train_batches
+    # precedence: explicit --steps_per_epoch > explicit --num_train_batches
+    # (reference-parity knob; its default 2619 is the reference's own
+    # derived value for train-100+360, train.py:107-110) > derived from
+    # this dataset's per-bucket record counts
+    if cfg.steps_per_epoch:
+        steps_per_epoch = cfg.steps_per_epoch
+    elif cfg.num_train_batches != 2619:
+        steps_per_epoch = cfg.num_train_batches
+    else:
+        steps_per_epoch = loader.batches_per_epoch()
+    log.info("steps per epoch: %d", steps_per_epoch)
     mesh = make_mesh(num_partitions=cfg.num_partitions,
                      data_axis=cfg.data_axis, model_axis=cfg.model_axis)
     dp = mesh.shape[cfg.data_axis]
