@@ -79,7 +79,9 @@ fi
 
 if run_stage test; then
   echo "=== stage: greedy eval ==="
-  python3 test.py $common_flags --split dev --convert_rate $convert_rate
+  # --scan_unroll 4: 48.8 -> 41.1 ms/batch greedy (benchmarks/RESULTS.md)
+  python3 test.py $common_flags --split dev --convert_rate $convert_rate \
+    --scan_unroll 4
 fi
 
 if run_stage lm; then

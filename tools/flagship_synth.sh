@@ -26,7 +26,7 @@ common="--unit char --feat_type mfcc --feat_dim 13 --cmvn True
 model="--enc_type cnn --enc_units 512 --num_enc_layers 4
   --num_enc_channels 32 --dec_units 1024 --num_dec_layers 2
   --embedding_size 256 --attention_size 128 --mode loc
-  --dropout_rate 0.0 --scheduled_sampling False"
+  --dropout_rate 0.0 --scheduled_sampling False --scan_unroll 4"
 
 if run_stage corpus; then
   echo "=== corpus: 12k train / 400 dev / 400 test, disjoint speakers ==="
@@ -51,7 +51,7 @@ if run_stage train; then
   # induced; this uses the promoted --lr_decay_* knobs
   python3 train.py $common $model --epoch 64 --lr 1e-3 \
     --lr_decay_start 2000 --lr_decay_step 2000 --lr_decay_rate 0.5 \
-    --dtype bfloat16 --scan_unroll 4 --steps_per_dispatch 16
+    --dtype bfloat16 --steps_per_dispatch 16
 fi
 
 if run_stage eval; then
@@ -70,5 +70,17 @@ if run_stage beam; then
       --restore_epoch $best | tail -1
     python3 decode.py $common $model --split $split --convert_rate 0.25 \
       --restore_epoch $best --beam_size 8 --beam_logprob True | tail -1
+  done
+fi
+
+if run_stage avg; then
+  echo "=== checkpoint averaging around the best epoch ==="
+  best=${BEST_EPOCH:-64}
+  epochs="$((best-8)),$((best-4)),$best"
+  python3 tools/average_checkpoints.py $common $model \
+    --avg_epochs "$epochs" --avg_out $work/model_avg
+  for split in dev test; do
+    python3 test.py $common $model --split $split --convert_rate 0.25 \
+      --save_dir $work/model_avg --restore_epoch 1 | tail -1
   done
 fi
