@@ -183,6 +183,9 @@ class Config:
     # compile time + code size for fewer loop iterations (XLA pipelines
     # the unrolled bodies, hiding per-iteration loop overhead)
     scan_unroll: int = 1
+    # also report corpus character error rate in test.py (the reference
+    # reports only word-level WER, test.py:127-136)
+    report_cer: bool = False
     # non-empty: capture a jax.profiler trace of training steps 10-20
     # into this directory (tracing subsystem; reference has none)
     profile_dir: str = ""

@@ -64,6 +64,19 @@ def corpus_wer(refs: Sequence[str], hyps: Sequence[str]) -> float:
     return error / max(total, 1)
 
 
+def corpus_cer(refs: Sequence[str], hyps: Sequence[str]) -> float:
+    """Corpus character-level error rate: summed char edit distance /
+    summed ref char count.  No reference equivalent (it reports only
+    word-level WER, test.py:127-136); CER is the standard companion
+    metric for character-output ASR."""
+    error, total = 0.0, 0
+    for ref, hyp in zip(refs, hyps):
+        e, n = edit_distance(list(ref), list(hyp))
+        error += e
+        total += n
+    return error / max(total, 1)
+
+
 def strip_punctuation(sentence: str) -> str:
     """Text preprocessing before tokenization (reference: preprocess.py:102)."""
     return sentence.translate(str.maketrans("", "", string.punctuation))

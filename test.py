@@ -29,7 +29,7 @@ from automatic_speech_recognition_tpu.models import las
 from automatic_speech_recognition_tpu.training import trainer
 from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
 from automatic_speech_recognition_tpu.utils.text import (
-    convert_idx_to_string, corpus_wer)
+    convert_idx_to_string, corpus_cer, corpus_wer)
 from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
 
 
@@ -106,6 +106,10 @@ def main(argv=None):
         log.warning("%d utterances beyond the last bucket boundary were "
                     "dropped by the loader", loader.dropped)
     log.info("WER: %.4f over %d utterances", w, len(refs))
+    if cfg.report_cer:
+        c = corpus_cer(refs, hyps)
+        log.info("CER: %.4f", c)
+        print(f"CER: {c:.4f}")
     print(f"WER: {w:.4f}")
     return w
 

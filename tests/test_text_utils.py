@@ -50,3 +50,14 @@ def test_lm_vocab():
     v2i, i2v, n = lm_vocab()
     assert n == 28
     assert v2i["."] == 0 and v2i[" "] == 1 and v2i["A"] == 2 and v2i["Z"] == 27
+
+
+def test_corpus_cer():
+    from automatic_speech_recognition_tpu.utils.text import corpus_cer
+    # "ABC" vs "ABC" perfect; "AB" vs "AX" one sub of 2 chars
+    assert corpus_cer(["ABC"], ["ABC"]) == 0.0
+    assert corpus_cer(["AB"], ["AX"]) == 0.5
+    # corpus-level: summed distances over summed ref chars = (0+1)/5
+    assert corpus_cer(["ABC", "AB"], ["ABC", "AX"]) == 1 / 5
+    # empty hyp = full deletion cost
+    assert corpus_cer(["ABCD"], [""]) == 1.0
