@@ -57,7 +57,7 @@ fi
 if run_stage eval; then
   echo "=== greedy WER trajectory (dev) ==="
   for e in 16 32 48 64; do
-    python3 test.py $common $model --split dev --convert_rate 0.25 \
+    python3 test.py $common $model --split dev --convert_rate 0.25 --report_cer True \
       --restore_epoch $e | tail -1
   done
 fi
@@ -66,9 +66,9 @@ if run_stage beam; then
   echo "=== beam decode at the best epoch (set BEST_EPOCH) ==="
   best=${BEST_EPOCH:-64}
   for split in dev test; do
-    python3 test.py $common $model --split $split --convert_rate 0.25 \
+    python3 test.py $common $model --split $split --convert_rate 0.25 --report_cer True \
       --restore_epoch $best | tail -1
-    python3 decode.py $common $model --split $split --convert_rate 0.25 \
+    python3 decode.py $common $model --split $split --convert_rate 0.25 --report_cer True \
       --restore_epoch $best --beam_size 8 --beam_logprob True | tail -1
   done
 fi
@@ -80,7 +80,7 @@ if run_stage avg; then
   python3 tools/average_checkpoints.py $common $model \
     --avg_epochs "$epochs" --avg_out $work/model_avg
   for split in dev test; do
-    python3 test.py $common $model --split $split --convert_rate 0.25 \
+    python3 test.py $common $model --split $split --convert_rate 0.25 --report_cer True \
       --save_dir $work/model_avg --restore_epoch 1 | tail -1
   done
 fi
