@@ -20,8 +20,12 @@ def honor_platform_env() -> None:
     """Force the platform named in JAX_PLATFORMS (or imply 'cpu' when a
     host-platform device-count XLA flag is set) via jax.config.
 
+    Also enables the persistent compilation cache (every CLI calls this
+    first, so one call site covers all entry points).
+
     No-op when the env expresses no preference or the backend is already
     initialized (then JAX itself warns about late config changes)."""
+    enable_compilation_cache()
     want = os.environ.get("JAX_PLATFORMS", "")
     if not want and "xla_force_host_platform_device_count" in os.environ.get(
             "XLA_FLAGS", ""):
@@ -33,3 +37,26 @@ def honor_platform_env() -> None:
         jax.config.update("jax_platforms", want)
     except Exception:
         pass  # backend already up; keep whatever it has
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache shared across CLI processes.
+
+    Every entry point (train/test/decode/serve) is its own process, so
+    without this each run re-pays the full compile — minutes per program
+    on remote-compile platforms like the tunneled dev TPU.  The cache dir
+    is ASR_COMPILATION_CACHE (default ~/.cache/asr_tpu_xla); set it to
+    '0'/'off' to disable.  Safe no-op on backends that cannot serialize
+    executables (JAX warns and skips caching)."""
+    where = os.environ.get("ASR_COMPILATION_CACHE",
+                           os.path.expanduser("~/.cache/asr_tpu_xla"))
+    if where.lower() in ("0", "off", "none", ""):
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", where)
+        # cache everything that took meaningful time to compile
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags: run uncached
