@@ -18,9 +18,25 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
 import numpy as np
+
+# Watchdog: on tunneled platforms even jax.devices() can hang when the
+# remote service is unavailable; a silent hang is the worst outcome for
+# an automated runner, so abort loudly after ASR_BENCH_TIMEOUT seconds
+# (0 disables).
+_TIMEOUT_S = int(os.environ.get("ASR_BENCH_TIMEOUT", "1500"))
+if _TIMEOUT_S > 0 and hasattr(signal, "SIGALRM"):
+    def _abort(signum, frame):
+        print("bench.py: device unresponsive after "
+              f"{_TIMEOUT_S}s; aborting", file=sys.stderr)
+        os._exit(3)
+    signal.signal(signal.SIGALRM, _abort)
+    signal.alarm(_TIMEOUT_S)
 
 
 from automatic_speech_recognition_tpu.utils.platform import honor_platform_env
