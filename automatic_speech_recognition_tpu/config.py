@@ -125,10 +125,16 @@ class Config:
     records_per_shard: int = 5000
     # reference: preprocess.py:17
     sample_threshold: int = 30000
-    # reference: train.py:107-108
-    num_train_batches: int = 2619
+    # reference: train.py:107-108 hardcodes 2619 (its derived value for
+    # train-100+360).  0 = derive from this dataset's per-bucket record
+    # counts; any explicit value (e.g. 2619 for reference parity) is
+    # honored as-is.
+    num_train_batches: int = 0
     # reference: test.py:102
     num_eval_batches: int = 45
+    # checkpoints kept by the epoch saver (reference hardcodes 30,
+    # train.py:83); raise for long runs that must restore early epochs
+    max_to_keep: int = 30
     # data pipeline locations (reference hardcodes globs, train.py:46 / test.py:48)
     shard_dir: str = "data/shards"
     shard_glob: str = ""                  # override shard file glob; empty = derived

@@ -95,7 +95,10 @@ class BucketedLoader:
         for b, c in counts.items():
             bs = self.batch_sizes[min(b, len(self.batch_sizes) - 1)]
             total += (c // bs) if self.is_training else -(-c // bs)
-        return max(total, 1)
+        # The floor-at-1 guard only makes sense for the infinite training
+        # stream (a derived 0 would stall the epoch loop); for eval the
+        # honest count is 0 when every record falls outside the buckets.
+        return max(total, 1) if self.is_training else total
 
     def batch_size_for(self, padded_len: int) -> Optional[int]:
         """Configured batch size of the bucket that pads to `padded_len`

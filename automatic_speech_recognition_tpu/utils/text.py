@@ -53,15 +53,21 @@ def wer(s1: Sequence, s2: Sequence) -> float:
     return e / length
 
 
-def corpus_wer(refs: Sequence[str], hyps: Sequence[str]) -> float:
-    """Corpus word-level WER: summed edit distance / summed ref length
-    (reference: test.py:127-136)."""
+def _corpus_error_rate(refs: Sequence[str], hyps: Sequence[str],
+                       tokenize) -> float:
+    """Summed edit distance / summed reference length over a corpus."""
     error, total = 0.0, 0
     for ref, hyp in zip(refs, hyps):
-        e, n = edit_distance(ref.split(" "), hyp.split(" "))
+        e, n = edit_distance(tokenize(ref), tokenize(hyp))
         error += e
         total += n
     return error / max(total, 1)
+
+
+def corpus_wer(refs: Sequence[str], hyps: Sequence[str]) -> float:
+    """Corpus word-level WER: summed edit distance / summed ref length
+    (reference: test.py:127-136)."""
+    return _corpus_error_rate(refs, hyps, lambda s: s.split(" "))
 
 
 def corpus_cer(refs: Sequence[str], hyps: Sequence[str]) -> float:
@@ -69,12 +75,7 @@ def corpus_cer(refs: Sequence[str], hyps: Sequence[str]) -> float:
     summed ref char count.  No reference equivalent (it reports only
     word-level WER, test.py:127-136); CER is the standard companion
     metric for character-output ASR."""
-    error, total = 0.0, 0
-    for ref, hyp in zip(refs, hyps):
-        e, n = edit_distance(list(ref), list(hyp))
-        error += e
-        total += n
-    return error / max(total, 1)
+    return _corpus_error_rate(refs, hyps, list)
 
 
 def strip_punctuation(sentence: str) -> str:

@@ -32,7 +32,7 @@ from automatic_speech_recognition_tpu.models import char_rnn
 from automatic_speech_recognition_tpu.training import trainer
 from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
 from automatic_speech_recognition_tpu.utils.text import (
-    convert_idx_to_string, edit_distance)
+    convert_idx_to_string, corpus_cer, edit_distance)
 from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
 
 from create_shards import load_cat_feats
@@ -149,6 +149,10 @@ def main(argv=None):
         f.write("\n".join(refs))
     wer = error / max(N, 1)
     log.info("%s WER: %.4f", cfg.split, wer)
+    if cfg.report_cer:
+        cer = corpus_cer(refs, hyps)
+        log.info("%s CER: %.4f", cfg.split, cer)
+        print(f"CER: {cer:.4f}")
     print(f"WER: {wer:.4f}")
     return wer
 

@@ -153,3 +153,13 @@ def test_batches_per_epoch_derivation(tmp_path, rng):
     assert ev.batches_per_epoch() == want_eval
     # the eval derivation matches what one real pass actually yields
     assert sum(1 for _ in ev) == want_eval
+    # every record beyond the last boundary: eval reports the honest 0
+    # (a real pass yields nothing); training floors at 1 so the infinite
+    # stream's epoch accounting can't stall
+    tiny = cfg.replace(bucket_boundaries_train=(2, 3, 4),
+                       bucket_boundaries_eval=(2, 3, 4))
+    ev0 = BucketedLoader(paths, tiny, is_training=False)
+    assert ev0.batches_per_epoch() == 0
+    assert sum(1 for _ in ev0) == 0
+    assert BucketedLoader(paths, tiny, is_training=True
+                          ).batches_per_epoch() == 1

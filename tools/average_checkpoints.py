@@ -55,6 +55,9 @@ def average_checkpoints(cfg: Config, epochs, out_dir: str):
     src = CheckpointManager(cfg.save_dir)
     if not epochs:
         epochs = sorted(src.all_epochs())[-5:]
+        if not epochs:
+            raise FileNotFoundError(
+                f"no checkpoints found in {cfg.save_dir}; nothing to average")
         log.info("no --avg_epochs given; using the last %d: %s",
                  len(epochs), epochs)
     states = []

@@ -5,9 +5,11 @@
 # on a 12,000-utterance formant-synthesized corpus (tools/synth_corpus.py;
 # real LibriSpeech is unobtainable here — no network egress, see
 # benchmarks/WER_SYNTH.md).  Stages mirror run.sh; select with
-#   bash tools/flagship_synth.sh [corpus|preprocess|shards|train|eval|beam]...
-# (no args = all stages).  Results are recorded in benchmarks/WER_SYNTH.md.
-set -e
+#   bash tools/flagship_synth.sh [corpus|preprocess|shards|train|eval|beam|avg]...
+# (no args = corpus..beam; `avg` is opt-in — run it after picking
+# BEST_EPOCH from the eval trajectory).  Results are recorded in
+# benchmarks/WER_SYNTH.md.
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 
 stages="${@:-corpus preprocess shards train eval beam}"
@@ -49,16 +51,18 @@ if run_stage train; then
   # lr 1e-3 halved every 2k steps after 2k: the constant-lr instability
   # seen in the first synth run (WER_SYNTH.md trajectory) is schedule-
   # induced; this uses the promoted --lr_decay_* knobs
+  # --max_to_keep 64: keep every epoch so the eval stage can restore the
+  # full trajectory (the reference's keep-30 would prune epochs < 35)
   python3 train.py $common $model --epoch 64 --lr 1e-3 \
     --lr_decay_start 2000 --lr_decay_step 2000 --lr_decay_rate 0.5 \
-    --dtype bfloat16 --steps_per_dispatch 16
+    --dtype bfloat16 --steps_per_dispatch 16 --max_to_keep 64
 fi
 
 if run_stage eval; then
   echo "=== greedy WER trajectory (dev) ==="
   for e in 16 32 48 64; do
     python3 test.py $common $model --split dev --convert_rate 0.25 --report_cer True \
-      --restore_epoch $e | tail -1
+      --restore_epoch $e | tail -2
   done
 fi
 
@@ -67,9 +71,9 @@ if run_stage beam; then
   best=${BEST_EPOCH:-64}
   for split in dev test; do
     python3 test.py $common $model --split $split --convert_rate 0.25 --report_cer True \
-      --restore_epoch $best | tail -1
+      --restore_epoch $best | tail -2
     python3 decode.py $common $model --split $split --convert_rate 0.25 --report_cer True \
-      --restore_epoch $best --beam_size 8 --beam_logprob True | tail -1
+      --restore_epoch $best --beam_size 8 --beam_logprob True | tail -2
   done
 fi
 
@@ -81,6 +85,6 @@ if run_stage avg; then
     --avg_epochs "$epochs" --avg_out $work/model_avg
   for split in dev test; do
     python3 test.py $common $model --split $split --convert_rate 0.25 --report_cer True \
-      --save_dir $work/model_avg --restore_epoch 1 | tail -1
+      --save_dir $work/model_avg --restore_epoch 1 | tail -2
   done
 fi

@@ -65,12 +65,12 @@ def main(argv=None):
              len(files))
 
     # precedence: explicit --steps_per_epoch > explicit --num_train_batches
-    # (reference-parity knob; its default 2619 is the reference's own
-    # derived value for train-100+360, train.py:107-110) > derived from
-    # this dataset's per-bucket record counts
+    # (reference-parity knob; pass 2619, the reference's own derived value
+    # for train-100+360, train.py:107-110) > derived (default 0) from this
+    # dataset's per-bucket record counts
     if cfg.steps_per_epoch:
         steps_per_epoch = cfg.steps_per_epoch
-    elif cfg.num_train_batches != 2619:
+    elif cfg.num_train_batches:
         steps_per_epoch = cfg.num_train_batches
     else:
         steps_per_epoch = loader.batches_per_epoch()
@@ -88,7 +88,7 @@ def main(argv=None):
              mesh.size, jax.devices()[0].platform)
 
     ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
-    ckpt = CheckpointManager(cfg.save_dir, max_to_keep=30)
+    ckpt = CheckpointManager(cfg.save_dir, max_to_keep=cfg.max_to_keep)
     start_epoch = 0
     restored = ckpt.restore(ts, epoch=cfg.restore_epoch)
     if restored is not None:
