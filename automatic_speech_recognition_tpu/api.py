@@ -50,7 +50,7 @@ class Recognizer:
         tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
         cfg = cfg.replace(vocab_size=tokenizer.get_vocab_size())
         ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
-        restored = CheckpointManager(save_dir).restore(ts, epoch=epoch)
+        restored = CheckpointManager(save_dir).restore_for_eval(ts, epoch=epoch)
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {save_dir}")
         lm_params = lm_cfg = None

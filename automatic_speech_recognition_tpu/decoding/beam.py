@@ -103,12 +103,15 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         n_finished: jnp.ndarray
         lm_states: Any
 
+    # decoder activations ride the configured compute dtype; scores
+    # (cum/bank) always accumulate float32
+    cdt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     init = Carry(
         t=jnp.zeros((), jnp.int32),
         prev_ids=jnp.full((K,), SOS_ID, jnp.int32),
-        prev_align=jnp.zeros((K, T), jnp.float32),
+        prev_align=jnp.zeros((K, T), cdt),
         dec_states=jnp.zeros((cfg.num_dec_layers, K, cfg.dec_units),
-                             jnp.float32),
+                             cdt),
         cum=jnp.zeros((K,), jnp.float32),
         # only beam 0 expands at t=0 (las/beam_search.py:119)
         valid=jnp.arange(K) == 0,
@@ -128,6 +131,8 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         logits, new_states, alphas = las.decode_step(
             speller_params, cfg, enc_out_k, enc_len_k, c.dec_states,
             prev_emb, c.prev_align, h_proj_k)
+        # beam scores accumulate in float32 even under bf16 compute
+        logits = logits.astype(jnp.float32)
         if use_lm:
             lm_logits, new_lm_states = char_rnn.lm_step(
                 lm_params, lm_cfg, c.prev_ids - 2, c.lm_states)
@@ -208,6 +213,7 @@ def beam_search(params, bn_state, audio, audiolen, cfg: Config,
     max_steps: static bound (convert_rate * padded frames); per utterance
     the true budget is convert_rate * audiolen (las/beam_search.py:78).
     """
+    params, audio = las.compute_cast(cfg, params, audio)
     enc_out, enc_len, _ = las.listener_apply(
         params["listener"], bn_state["listener"], audio, audiolen, cfg,
         is_training=False)

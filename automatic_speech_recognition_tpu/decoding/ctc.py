@@ -30,6 +30,7 @@ def ctc_greedy_decode(params, bn_state, audio, audiolen, cfg: Config
 
     Returns (tokens (B, T_enc) int32 padded with 0/<PAD>, lengths (B,)).
     """
+    params, audio = las.compute_cast(cfg, params, audio)
     enc_out, enc_len, _ = las.listener_apply(
         params["listener"], bn_state["listener"], audio, audiolen, cfg,
         is_training=False)
@@ -39,7 +40,11 @@ def ctc_greedy_decode(params, bn_state, audio, audiolen, cfg: Config
     T = path.shape[1]
     valid = jnp.arange(T)[None, :] < enc_len[:, None]
     prev = jnp.pad(path[:, :-1], ((0, 0), (1, 0)), constant_values=blank)
-    keep = (path != blank) & (path != prev) & valid        # collapse+deblank
+    # collapse repeats, drop blanks AND class 0 (<PAD>): labels never
+    # contain 0 (ctc_loss marks it as label padding), so an argmax hit on
+    # the untrained PAD class must not masquerade as a real token — the
+    # output contract uses 0 exclusively as right-padding
+    keep = (path != blank) & (path != prev) & (path != 0) & valid
 
     def compact(row_path, row_keep):
         # stable left-compaction of kept symbols under static shapes:

@@ -234,13 +234,18 @@ def lm_eval_loss(params, inputs, targets, state, cfg: LMConfig):
     return lm_loss(params, cfg, inputs, targets, state)
 
 
+_jit_lm_step = jax.jit(lm_step, static_argnames=("cfg",))
+
+
 def sample_seq(params: Dict, cfg: LMConfig, length: int, start_ids,
                rng=None, temperature: float = 1.0,
                max_prob: bool = True) -> list:
     """Greedy / temperature sampling (lang/char_rnn_model.py:246-282):
     warm up on start_ids, then emit `length` ids."""
     state = zero_state(cfg, 1)
-    step = jax.jit(lambda i, s: lm_step(params, cfg, i, s))
+    # params is a traced argument (not a captured constant) so repeated
+    # sample_seq calls reuse one cached compile of _jit_lm_step
+    step = lambda i, s: _jit_lm_step(params, cfg, i, s)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if start_ids:

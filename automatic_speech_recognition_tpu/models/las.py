@@ -231,7 +231,19 @@ def speller_apply(params, cfg: Config, enc_out, enc_len, dec_steps: int,
     """
     B, T_enc, _ = enc_out.shape
     sos = jnp.ones((B,), jnp.int32)  # <SOS> id 1 (las/las.py:81)
+    # static knowledge of which RNG consumers exist keeps the scan body
+    # free of unused threefry calls (pure teacher forcing needs none)
+    sampling = is_training and not (isinstance(tf_rate, float)
+                                    and tf_rate >= 1.0)
+    needs_rng = is_training and (sampling or cfg.dropout_rate > 0
+                                 or cfg.add_vn)
     if rng is None:
+        if needs_rng:
+            # a constant key would silently reuse the same dropout masks /
+            # sampling coins every optimization step — fail fast instead
+            raise ValueError(
+                "speller_apply: rng is required when training with "
+                "scheduled sampling, dropout, or variational noise")
         rng = jax.random.PRNGKey(0)
 
     def lookup(ids, key):
@@ -251,13 +263,6 @@ def speller_apply(params, cfg: Config, enc_out, enc_len, dec_steps: int,
                  else jnp.zeros((dec_steps, B), jnp.int32))
 
     h_proj = att.precompute_hidden(params["attention"], enc_out)
-
-    # static knowledge of which RNG consumers exist keeps the scan body
-    # free of unused threefry calls (pure teacher forcing needs none)
-    sampling = is_training and not (isinstance(tf_rate, float)
-                                    and tf_rate >= 1.0)
-    needs_rng = is_training and (sampling or cfg.dropout_rate > 0
-                                 or cfg.add_vn)
 
     def step(carry, y_t):
         states, prev_emb, prev_align, key = carry

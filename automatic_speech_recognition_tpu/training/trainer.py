@@ -29,7 +29,14 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    schedule = lambda step: las.scheduled_learning_rate(cfg, step)
+    # Under MultiSteps the inner optimizer's count increments once per
+    # grad_accum_steps micro-steps, while ts.step (what train.py logs and
+    # the sampling schedule consume) increments every micro-step.  Scale
+    # the schedule's argument back to micro-steps so the LR actually
+    # applied matches the logged scheduled_learning_rate(cfg, ts.step)
+    # and keeps the reference's step semantics (las/las.py:351-369).
+    accum = max(cfg.grad_accum_steps, 1)
+    schedule = lambda count: las.scheduled_learning_rate(cfg, count * accum)
     tx = [optax.clip_by_global_norm(cfg.grad_clip)] if cfg.grad_clip > 0 else []
     tx.append(optax.adam(schedule))
     opt = optax.chain(*tx)

@@ -52,7 +52,7 @@ def main(argv=None):
 
     ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     ckpt = CheckpointManager(cfg.save_dir)
-    restored = ckpt.restore(ts, epoch=cfg.restore_epoch)
+    restored = ckpt.restore_for_eval(ts, epoch=cfg.restore_epoch)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint found in {cfg.save_dir}")
     ts = restored

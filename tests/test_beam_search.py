@@ -237,3 +237,18 @@ def test_lm_fusion_matches_host_reference():
         assert list(got) == ids
         np.testing.assert_allclose(float(res.scores[b, 0]), score,
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_compute_dtype_is_honored():
+    """--dtype bfloat16 must reach beam decode (compute_cast at entry)
+    and still produce float32 scores and near-f32 hypotheses."""
+    params, bn_state, audio, audiolen = _setup()
+    cfg16 = CFG.replace(dtype="bfloat16")
+    r32 = beam_lib.beam_search(params, bn_state, audio, audiolen, CFG,
+                               max_steps=8, beam_size=3)
+    r16 = beam_lib.beam_search(params, bn_state, audio, audiolen, cfg16,
+                               max_steps=8, beam_size=3)
+    assert r16.scores.dtype == jnp.float32
+    # the top-1 hypothesis should survive the precision change on this
+    # small separable setup (bf16 keeps ~3 significant decimal digits)
+    assert list(np.asarray(r16.tokens[0, 0])) == list(np.asarray(r32.tokens[0, 0]))

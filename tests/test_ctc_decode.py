@@ -18,9 +18,11 @@ CFG = Config(unit="char", vocab_size=8, feat_dim=8, enc_type="cnn",
 
 
 def oracle(path, blank, n):
+    # collapse repeats, drop blanks and class 0 (<PAD> never appears in
+    # CTC labels; an argmax hit on it must not leak into transcripts)
     out, prev = [], blank
     for p in path[:n]:
-        if p != blank and p != prev:
+        if p != blank and p != prev and p != 0:
             out.append(int(p))
         prev = p
     return out

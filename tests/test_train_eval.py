@@ -68,6 +68,47 @@ def test_checkpoint_roundtrip_resume(tmp_path, rng):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
 
 
+def test_checkpoint_overwrite_is_crash_safe(tmp_path, rng):
+    """Overwriting an epoch renames the old copy aside instead of deleting
+    it; an interrupted overwrite rolls back to the old copy on restore."""
+    cfg = Config(**TINY)
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    d = str(tmp_path / "ckpt")
+    cm = CheckpointManager(d)
+    cm.save(1, jax.device_get(ts))
+    # overwrite the same epoch with an advanced state: must not crash and
+    # must win cleanly (tf.train.Saver semantics)
+    ts2 = ts._replace(step=ts.step + 7)
+    cm.save(1, jax.device_get(ts2))
+    got = cm.restore(trainer.create_train_state(jax.random.PRNGKey(1), cfg),
+                     epoch=1)
+    assert int(got.step) == 7
+    assert not [p for p in os.listdir(d) if p.endswith(".replaced")]
+    cm.close()
+    # simulate a crash mid-overwrite: the new copy never committed, only
+    # the renamed-aside old copy survives
+    os.rename(os.path.join(d, "1"), os.path.join(d, "1.replaced"))
+    cm2 = CheckpointManager(d)
+    got = cm2.restore(trainer.create_train_state(jax.random.PRNGKey(1), cfg))
+    assert got is not None and int(got.step) == 7  # rolled back, not lost
+    cm2.close()
+
+
+def test_speller_requires_rng_when_stochastic(rng):
+    """Training with dropout but no rng must fail fast, not silently reuse
+    a constant key's masks every step."""
+    from automatic_speech_recognition_tpu.models import las
+    cfg = Config(**{**TINY, "dropout_rate": 0.1})
+    params, bn = las.las_init(jax.random.PRNGKey(0), cfg)
+    audio, audiolen, ys, yslen = make_batch(rng)
+    with pytest.raises(ValueError, match="rng is required"):
+        las.las_forward(params, bn, audio, audiolen, cfg, dec_steps=8,
+                        teacher=ys, is_training=True, rng=None)
+    # eval without rng stays fine
+    las.las_forward(params, bn, audio, audiolen, cfg, dec_steps=8,
+                    is_training=False, rng=None)
+
+
 def test_train_test_cli_roundtrip(tmp_path, rng):
     """Full CLI pipeline: shards -> train.py -> test.py -> WER in [0, +inf)."""
     import train as train_cli

@@ -62,7 +62,7 @@ def average_checkpoints(cfg: Config, epochs, out_dir: str):
                  len(epochs), epochs)
     states = []
     for e in sorted(epochs):
-        st = src.restore(template, epoch=e)
+        st = src.restore_for_eval(template, epoch=e)
         if st is None:
             raise FileNotFoundError(f"epoch {e} not found in {cfg.save_dir} "
                                     f"(have {src.all_epochs()})")
