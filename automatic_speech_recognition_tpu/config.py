@@ -49,6 +49,15 @@ class Config:
     cmvn: bool = True
     augmentation: bool = False
     split: str = "dev"
+    # SpecAugment (beyond-reference, on-device in the train step;
+    # ops/augmentation.py:spec_augment).  Widths sized for 13-dim MFCC;
+    # sa_time_ratio caps each time mask at that fraction of the utterance.
+    spec_augment: bool = False
+    sa_freq_masks: int = 2
+    sa_freq_width: int = 3
+    sa_time_masks: int = 2
+    sa_time_width: int = 40
+    sa_time_ratio: float = 0.2
 
     # ---- training arguments (reference: las/arguments.py:58-107) ----
     verbose: int = 0

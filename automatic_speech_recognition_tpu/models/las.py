@@ -387,6 +387,10 @@ def ctc_loss(ctc_logits, y, enc_len, cfg: Config) -> jnp.ndarray:
 def total_loss(params, state, batch, cfg: Config, dec_steps, rng, step):
     """Training loss closure for jax.grad."""
     audio, audiolen, y, tokenlen = batch
+    if cfg.spec_augment:
+        from ..ops.augmentation import spec_augment
+        rng, sa_key = jax.random.split(rng)
+        audio = spec_augment(sa_key, audio, audiolen, cfg)
     tf_rate = (scheduled_sampling_rate(cfg, step)
                if cfg.scheduled_sampling else 1.0)
     logits, ctc_logits, alphas, enc_len, new_state = las_forward(

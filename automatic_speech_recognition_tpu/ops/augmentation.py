@@ -126,3 +126,66 @@ SPEED_LIST = (0.9, 1.1)  # reference: preprocess.py:160
 def speed_augment_all(signals: Sequence[np.ndarray],
                       speed: float) -> List[np.ndarray]:
     return [speed_perturb(s, speed) for s in signals]
+
+
+# ===========================================================================
+# SpecAugment (on-device, beyond-reference capability)
+# ===========================================================================
+#
+# The reference's only augmentations are offline sox re-renders of the
+# corpus (utils/augmentation.py).  SpecAugment (Park et al., 2019) is the
+# standard feature-domain augmentation for LAS-family models; here it is
+# TPU-native: pure-JAX masking applied INSIDE the jitted train step
+# (models/las.py:total_loss), so it costs one fused elementwise multiply
+# — no host work, no extra HBM traffic, nothing re-rendered to disk.
+# Masked bins are zeroed; after per-utterance CMVN zero is the feature
+# mean, which is the conventional fill value.
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_mask(key, n_masks: int, axis_len: int, max_width, limit):
+    """Boolean (axis_len,) mask: union of `n_masks` random spans.
+
+    Span widths ~ U[0, max_width]; starts ~ U[0, limit - width] so spans
+    stay inside the valid region [0, limit) (limit = utterance length for
+    the time axis, full dim for frequency).  All shapes static.
+    """
+    kw, ks = jax.random.split(key)
+    widths = jax.random.randint(kw, (n_masks,), 0,
+                                jnp.asarray(max_width) + 1)
+    widths = jnp.minimum(widths, limit)
+    span = jnp.maximum(limit - widths, 1)
+    starts = jnp.floor(
+        jax.random.uniform(ks, (n_masks,)) * span).astype(jnp.int32)
+    pos = jnp.arange(axis_len)[None, :]
+    hit = (pos >= starts[:, None]) & (pos < (starts + widths)[:, None])
+    return jnp.any(hit, axis=0)
+
+
+def spec_augment(rng, audio, audiolen, cfg):
+    """Random time and frequency masking on a feature batch.
+
+    audio: (B, T, D, C) float features (CMVN'd, deltas stacked);
+    audiolen: (B,) valid frame counts.  Per utterance:
+    `sa_freq_masks` spans of width U[0, sa_freq_width] zero whole feature
+    rows (all C delta channels), and `sa_time_masks` spans of width
+    U[0, min(sa_time_width, sa_time_ratio * audiolen)] zero whole frames.
+    """
+    B, T, D, _ = audio.shape
+
+    def one(key, length):
+        kt, kf = jax.random.split(key)
+        t_cap = jnp.minimum(
+            cfg.sa_time_width,
+            (cfg.sa_time_ratio * length.astype(jnp.float32))
+            .astype(jnp.int32))
+        tmask = _axis_mask(kt, cfg.sa_time_masks, T, t_cap, length)
+        fmask = _axis_mask(kf, cfg.sa_freq_masks, D, cfg.sa_freq_width, D)
+        return tmask, fmask
+
+    keys = jax.random.split(rng, B)
+    tmask, fmask = jax.vmap(one)(keys, audiolen.astype(jnp.int32))
+    keep = ~(tmask[:, :, None] | fmask[:, None, :])          # (B, T, D)
+    return audio * keep[..., None].astype(audio.dtype)
