@@ -156,6 +156,10 @@ class Config:
     # compat switch: False = accumulate RAW decoder logits like the
     # reference (las/beam_search.py:123-124); True = proper log-softmax
     beam_logprob: bool = False
+    # hypothesis length normalization: <0 = reference score/len
+    # (beam_search.py:297-312); >=0 = GNMT ((5+len)/6)^alpha (0 disables
+    # normalization; fractional alpha damps early-EOS selection)
+    beam_len_penalty: float = -1.0
     # training decoder runs ~max(tokenlen) scan steps per batch like the
     # reference (las/las.py:246-249) instead of always max_tokenlen: token
     # padding rounds the batch max up to token_pad_quantum (few static jit

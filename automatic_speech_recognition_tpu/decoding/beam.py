@@ -62,6 +62,22 @@ def prune_expansions(step_scores: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(step_scores >= kth, step_scores, NEG)
 
 
+def _length_div(cfg: Config, length):
+    """Divisor for length-normalized hypothesis ranking.
+
+    Default (beam_len_penalty < 0): the reference's plain average,
+    score/len (las/beam_search.py:297-312 with NORM=True).  A
+    non-negative value alpha switches to the GNMT penalty
+    ((5 + len)/6)**alpha — alpha 0 disables normalization entirely,
+    alpha in (0, 1) damps the early-EOS preference the plain average
+    shows on well-calibrated models (see benchmarks/WER_SYNTH.md).
+    """
+    length = length.astype(jnp.float32)
+    if cfg.beam_len_penalty < 0:
+        return length
+    return ((5.0 + length) / 6.0) ** cfg.beam_len_penalty
+
+
 class BeamResult(NamedTuple):
     tokens: jnp.ndarray   # (B, K, max_steps) generated ids (EOS included)
     lengths: jnp.ndarray  # (B, K) generated token counts
@@ -160,7 +176,7 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         # slots carry ~NEG scores and must not finish or enter the bank
         real = scores > NEG * 0.5
         eos = (tok == EOS_ID) & real
-        norm = scores / (c.t + 1).astype(jnp.float32)
+        norm = scores / _length_div(cfg, c.t + 1)
 
         # merge newly finished hypotheses into the bank, keep best K
         cat_scores = jnp.concatenate([c.bank_score,
@@ -191,7 +207,7 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
     # (las/beam_search.py:155-156)
     exhausted = (c.t >= dec_step) & c.valid
     live_norm = jnp.where(exhausted,
-                          c.cum / jnp.maximum(c.t, 1).astype(jnp.float32),
+                          c.cum / _length_div(cfg, jnp.maximum(c.t, 1)),
                           NEG)
     cat_scores = jnp.concatenate([c.bank_score, live_norm])
     cat_tokens = jnp.concatenate([c.bank_tokens, c.tokens])

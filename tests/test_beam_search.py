@@ -26,7 +26,8 @@ CFG = Config(unit="char", vocab_size=12, feat_dim=8, enc_type="cnn",
 
 def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
                         beam_size, lm_params=None, lm_cfg=None,
-                        lm_weight=0.5, logprob=False):
+                        lm_weight=0.5, logprob=False,
+                        len_div=lambda L: L):
     """Reference algorithm, host loop (las/beam_search.py:61-158)."""
     K, V = beam_size, cfg.vocab_size
     T = enc_out.shape[0]
@@ -78,7 +79,7 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
                 else:
                     item["lm_state"] = None
                 bank.append(item)
-        norm = [b["logp"] / (len(b["ids"]) - 1) for b in bank]
+        norm = [b["logp"] / len_div(len(b["ids"]) - 1) for b in bank]
         keep = np.argsort(norm)[-K:]
         beams = []
         for i in keep:
@@ -89,7 +90,7 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
         t += 1
     if t == dec_step:
         finished.extend(beams)
-    norm = [b["logp"] / (len(b["ids"]) - 1) for b in finished]
+    norm = [b["logp"] / len_div(len(b["ids"]) - 1) for b in finished]
     best = finished[int(np.argsort(norm)[-1])]
     return best["ids"][1:], max(norm)
 
@@ -252,3 +253,30 @@ def test_bf16_compute_dtype_is_honored():
     # the top-1 hypothesis should survive the precision change on this
     # small separable setup (bf16 keeps ~3 significant decimal digits)
     assert list(np.asarray(r16.tokens[0, 0])) == list(np.asarray(r32.tokens[0, 0]))
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.6])
+def test_gnmt_length_penalty_matches_host_reference(alpha):
+    """--beam_len_penalty alpha >= 0 swaps the reference's score/len for
+    the GNMT divisor ((5+len)/6)^alpha in BOTH the in-loop bank ranking
+    and the final selection; verified against the host algorithm with the
+    same divisor."""
+    params, bn_state, audio, audiolen = _setup(seed=3)
+    cfg = CFG.replace(beam_len_penalty=alpha)
+    max_steps, K = 8, 4
+    res = beam_lib.beam_search(params, bn_state, audio, audiolen, cfg,
+                               max_steps=max_steps, beam_size=K,
+                               logprob=True)
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn_state["listener"], audio, audiolen, cfg,
+        is_training=False)
+    div = lambda L: ((5.0 + L) / 6.0) ** alpha
+    for b in range(audio.shape[0]):
+        dec_step = min(max(int(audiolen[b] * cfg.convert_rate), 1), max_steps)
+        ids, score = host_reference_beam(
+            params["speller"], cfg, enc_out[b], enc_len[b], dec_step, K,
+            logprob=True, len_div=div)
+        got = np.asarray(res.tokens[b, 0])[:int(res.lengths[b, 0])]
+        assert list(got) == ids, (alpha, b, list(got), ids)
+        np.testing.assert_allclose(float(res.scores[b, 0]), score,
+                                   rtol=1e-4, atol=1e-5)
