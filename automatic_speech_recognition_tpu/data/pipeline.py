@@ -22,6 +22,7 @@ import numpy as np
 
 from ..config import Config
 from .shards import ShardReader
+from ..utils.numerics import round_up
 from . import shards_native
 
 
@@ -136,7 +137,7 @@ class BucketedLoader:
         q = max(1, self.cfg.token_pad_quantum)
         actual = max(r.tokenlen(i) for r, i, _ in items)
         actual = min(max(actual, 1), self.max_tokenlen)
-        return min(self.max_tokenlen, -(-actual // q) * q)
+        return min(self.max_tokenlen, round_up(actual, q))
 
     def _assemble(self, items, pad_frames: int) -> Batch:
         """Materialize one padded batch.  Native path: one memcpy per record
@@ -191,15 +192,34 @@ class DevicePrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._done = False
 
         def worker():
             try:
                 for item in it:
-                    self._q.put(put_fn(item))
+                    staged = put_fn(item)
+                    # bounded put so close() can always unblock the thread
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(staged, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # propagate into consumer
                 self._err = e
             finally:
-                self._q.put(self._sentinel)
+                # blocking (but interruptible) put: the sentinel must not
+                # be dropped when the queue is momentarily full, or a
+                # finite stream's consumer waits forever
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
@@ -208,9 +228,37 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        if self._done:  # exhausted streams stay exhausted (no deadlock on
+            raise StopIteration  # a second pass; __iter__ returns self)
         item = self._q.get()
         if item is self._sentinel:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self):
+        """Stop the worker and release staged device batches.  Call when
+        abandoning the stream early (e.g. train.py hitting total_steps on
+        an infinite loader) so `depth` mesh-resident batches don't stay
+        pinned in HBM for the rest of the process."""
+        self._stop.set()
+        while True:  # drain so a blocked put can finish and see the stop
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._t.join(timeout=5.0)
+        while True:  # drop anything staged between the drain and exit
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._done = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

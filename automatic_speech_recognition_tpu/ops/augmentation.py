@@ -25,6 +25,8 @@ from __future__ import annotations
 from fractions import Fraction
 from typing import List, Sequence
 
+from ..utils.numerics import cdiv
+
 import numpy as np
 
 # Kaiser design: beta 8.6 gives ~90 dB stopband with enough taps;
@@ -77,15 +79,11 @@ def _resample_sinc(signal: np.ndarray, up: int, down: int,
     last_pos = H + (n_out - 1) * down           # upsampled index needed
     have = (len(x) - 1) * up + len(h) - 1       # last index upfirdn yields
     if last_pos > have:
-        x = np.pad(x, (0, _cdiv_pos(last_pos - have, up)))
+        x = np.pad(x, (0, cdiv(last_pos - have, up)))
     # full interpolated stream f[k] = (zero-stuffed x * h)[k]; value at
     # upsampled position p is f[p + H]
     f = upfirdn(h, x, up=up, down=1)
     return f[H + np.arange(n_out, dtype=np.int64) * down]
-
-
-def _cdiv_pos(a: int, b: int) -> int:
-    return -(-a // b)
 
 
 def speed_perturb(signal: np.ndarray, speed: float,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import frontend_host as host
+from ..utils.numerics import round_up
 
 EPS_CMVN = 2.0 ** -30
 EPS_ZERO = float(np.finfo(np.float64).eps)
@@ -236,7 +237,7 @@ def extract_features_list(signals, cfg, batch_size: int = 128,
         idx = order[lo:lo + batch_size]
         group = [np.asarray(signals[i], np.float32) for i in idx]
         lens = np.asarray([len(g) for g in group], np.int32)
-        S = int(-(-int(lens.max()) // quantum) * quantum)
+        S = round_up(int(lens.max()), quantum)
         padded = np.zeros((len(group), S), np.float32)
         for r, g in enumerate(group):
             padded[r, :len(g)] = g

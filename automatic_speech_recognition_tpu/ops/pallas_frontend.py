@@ -57,8 +57,7 @@ MAX_FRAMES = 2048        # whole-utterance VMEM budget (~6 MB at 128 lanes)
 _LANE = 128
 
 
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
+from ..utils.numerics import cdiv as _cdiv
 
 
 def _round_up(a: int, b: int) -> int:

@@ -205,8 +205,17 @@ def build_tracks(phones: Sequence[str], spk: Speaker,
         g = np.full(n, p.voiced_gain if p.voiced else 0.0)
         noise = np.zeros(n)
         if p.kind in ("stop", "affric"):
-            nc = max(1, int(round(p.closure_ms / spk.rate / HOP_MS)))
-            nb = max(1, int(round(p.burst_ms / HOP_MS)))
+            # closure/burst spans scale with the SAME factor the segment
+            # length did (rate AND the random duration draw), then clamp
+            # so closure + burst always fit inside the segment with at
+            # least one trailing frame for the voiced tail — otherwise a
+            # fast speaker with a short draw loses the burst and the
+            # voiced portion entirely to slice clipping
+            scale = n / max(p.dur_ms / HOP_MS, 1e-6)
+            nc = max(1, int(round(p.closure_ms / HOP_MS * scale)))
+            nb = max(1, int(round(p.burst_ms / HOP_MS * scale)))
+            nc = min(nc, max(n - 2, 1))
+            nb = min(nb, max(n - nc - 1, 1))
             g[:] = 0.0
             if p.voiced:
                 g[:nc] = 0.12  # voice bar during closure

@@ -175,3 +175,53 @@ def test_sinc_resampler_exact_ratio_and_live_tail():
     assert len(out) == int(len(tone) / (11025.0 / 16000.0))
     # the final samples carry signal (previously silently zeroed)
     assert np.abs(out[-40:]).max() > 0.05
+
+
+def test_stop_burst_and_voiced_tail_survive_fast_rates():
+    """Stops/affricates keep their burst AND voiced tail even when a fast
+    speaker + a short random duration draw shrink the segment: the
+    closure/burst frame counts scale with the realized segment length
+    instead of the nominal one (utils/formant_synth.py:build_tracks)."""
+    import numpy as np
+    from automatic_speech_recognition_tpu.utils import formant_synth as fsyn
+
+    spk = fsyn.Speaker(rate=1.15)
+    # many draws so the U(0.82, 1.25) duration factor hits its low end
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        tracks = fsyn.build_tracks(["JH", "AA", "JH"], spk, rng)
+        vg = tracks["voiced_gain"] if "voiced_gain" in tracks else None
+        assert vg is None or np.max(vg) > 0
+        # burst noise must exist somewhere (color tracks carry it)
+        total_noise = sum(float(np.max(v)) for k, v in tracks.items()
+                          if isinstance(v, np.ndarray) and v.ndim == 1
+                          and k not in ("voiced_gain", "f0"))
+        assert total_noise > 0, seed
+
+
+def test_device_prefetcher_close_and_reiterate():
+    """close() releases the worker on an infinite stream; an exhausted
+    prefetcher raises StopIteration again instead of deadlocking."""
+    import itertools
+    from automatic_speech_recognition_tpu.data.pipeline import DevicePrefetcher
+
+    # infinite stream: a consumer that abandons early must be able to
+    # close() without hanging, and the worker thread must exit
+    pf = DevicePrefetcher(itertools.count(), lambda x: x, depth=2)
+    assert next(pf) == 0
+    pf.close()
+    assert not pf._t.is_alive()
+    with pytest.raises(StopIteration):
+        next(pf)
+
+    # finite stream: second pass terminates instead of blocking forever
+    pf2 = DevicePrefetcher(iter([1, 2]), lambda x: x, depth=2)
+    assert list(pf2) == [1, 2]
+    assert list(pf2) == []          # exhausted stays exhausted
+    with pytest.raises(StopIteration):
+        next(pf2)
+
+    # context-manager form
+    with DevicePrefetcher(itertools.count(), lambda x: x, depth=2) as pf3:
+        assert next(pf3) == 0
+    assert not pf3._t.is_alive()

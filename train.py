@@ -208,6 +208,9 @@ def main(argv=None):
                 ckpt.save(epoch, jax.device_get(ts), block=False)
             log.info("saved epoch %d -> %s", epoch, cfg.save_dir)
 
+    # release the worker thread and its staged device batches (the train
+    # loader is infinite, so the loop above always abandons the stream)
+    batches.close()
     if profiling:  # run ended before the stop step; close the trace
         jax.profiler.stop_trace()
         log.info("profiler trace (short run) written to %s", cfg.profile_dir)
