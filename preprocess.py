@@ -31,6 +31,7 @@ from automatic_speech_recognition_tpu.utils.platform import honor_platform_env
 honor_platform_env()  # must run before the jax backend is frozen
 from automatic_speech_recognition_tpu.config import parse_args
 from automatic_speech_recognition_tpu.data.audio_io import read_audio
+from automatic_speech_recognition_tpu.utils.numerics import cdiv
 from automatic_speech_recognition_tpu.ops import augmentation
 from automatic_speech_recognition_tpu.ops import frontend
 from automatic_speech_recognition_tpu.utils.text import strip_punctuation
@@ -57,8 +58,16 @@ def data_preparation(libri_path):
             for line in f.readlines():
                 head = line.split(" ")[0]
                 base = os.path.join(path, head)
-                cand = base + ".flac" if os.path.exists(base + ".flac") \
-                    else base + ".wav"
+                for ext in (".flac", ".wav"):
+                    if os.path.exists(base + ext):
+                        cand = base + ext
+                        break
+                else:
+                    # fail here with a clear message instead of deep in a
+                    # featurize worker after chunks of completed work
+                    raise FileNotFoundError(
+                        f"transcript {txts[0]} references {head} but "
+                        f"neither {base}.flac nor {base}.wav exists")
                 audio_path.append(cand)
                 # rstrip, not [:-1]: a final line without '\n' must not
                 # lose its last character
@@ -121,11 +130,16 @@ def save_feats(cfg, cat, audio_path, transform=None):
         return process_audios(signals, cfg)
 
     if len(audio_path) > thr:
-        k = max(len(audio_path) // thr, 1)
-        n = len(audio_path) // k + 1
+        # ceil so no chunk exceeds the threshold (floor could put nearly
+        # 2*thr utterances in one chunk and break the memory bound)
+        k = cdiv(len(audio_path), thr)
+        n = cdiv(len(audio_path), k)
         featlen_all = []
         for i in range(k):
-            feats, featlen = featurize(audio_path[i * n:(i + 1) * n])
+            chunk = audio_path[i * n:(i + 1) * n]
+            if not chunk:  # k*n can overshoot len by a few slots
+                break
+            feats, featlen = featurize(chunk)
             featlen_all.extend(featlen.tolist())
             np.save(os.path.join(cfg.feat_dir, f"{cat}-feats-{i}.npy"),
                     feats, allow_pickle=True)

@@ -41,7 +41,8 @@ def load_lm(init_dir: str, epoch: int = -1):
     ts = char_rnn.create_lm_train_state(jax.random.PRNGKey(0), cfg)
     ckpt = CheckpointManager(os.path.join(init_dir, "lang", "best_model"))
     use_epoch = epoch if epoch >= 0 else result.get("best_model", -1)
-    restored = ckpt.restore(ts, epoch=use_epoch if use_epoch else -1)
+    restored = ckpt.restore(ts,
+                            epoch=use_epoch if use_epoch is not None else -1)
     if restored is None:
         restored = ckpt.restore(ts, epoch=-1)
     if restored is None:

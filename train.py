@@ -136,16 +136,26 @@ def main(argv=None):
     # one dispatch (see trainer.train_multi_step)
     pending = {}
 
-    def dispatch(batch):
+    def dispatch(batch, remaining):
         nonlocal ts
         if cfg.steps_per_dispatch <= 1:
             ts, metrics = step_fn(ts, batch)
             return 1, metrics
         key = tuple(x.shape for x in batch)  # host arrays; shape is free
         pending.setdefault(key, []).append(batch)
-        if len(pending[key]) < cfg.steps_per_dispatch:
+        # near the step budget, flush a short stack so training stops at
+        # EXACTLY total_steps instead of overshooting by up to K-1 (one
+        # extra jit key for the short stack, amortized by the compile
+        # cache across runs)
+        eff_k = min(cfg.steps_per_dispatch, max(remaining, 1))
+        if len(pending[key]) < eff_k:
             return 0, None
-        group = pending.pop(key)
+        # take exactly eff_k (another bucket may have accumulated more
+        # than the remaining budget while this one was filling)
+        group = pending[key][:eff_k]
+        pending[key] = pending[key][eff_k:]
+        if not pending[key]:
+            del pending[key]
         # stack on host, transfer once (jit moves it in a single put)
         stacked = tuple(np.stack([b[i] for b in group])
                         for i in range(len(group[0])))
@@ -169,7 +179,7 @@ def main(argv=None):
             jax.profiler.start_trace(cfg.profile_dir)
             profiling = True
         with timers.stage("train_step"):
-            n_done, metrics = dispatch(batch)
+            n_done, metrics = dispatch(batch, total_steps - global_step)
         if n_done == 0:
             continue
         global_step += n_done

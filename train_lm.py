@@ -137,12 +137,22 @@ def main(argv=None):
         max_grad_norm=args.max_grad_norm, dropout=args.dropout,
         input_dropout=args.input_dropout)
 
-    train_size = int(args.train_frac * len(text))
-    valid_size = int(args.valid_frac * len(text))
+    # split sizes from the ENCODED length (encode_text drops OOV chars, so
+    # len(ids) <= len(text); splitting on len(text) could leave the test
+    # slice empty and crash the final ppl pass after training)
     ids = encode_text(text, v2i)
+    train_size = int(args.train_frac * len(ids))
+    valid_size = int(args.valid_frac * len(ids))
     train_ids = ids[:train_size]
     valid_ids = ids[train_size:train_size + valid_size]
     test_ids = ids[train_size + valid_size:]
+    min_chunk = args.batch_size * args.num_unrollings + 1
+    if len(train_ids) < min_chunk or len(valid_ids) < min_chunk:
+        raise ValueError(
+            f"corpus too small for the requested split: train {len(train_ids)}"
+            f" / valid {len(valid_ids)} encoded chars, need >= {min_chunk} "
+            f"each (batch_size*num_unrollings+1); adjust --train_frac/"
+            f"--valid_frac or the batch geometry")
 
     train_gen = char_rnn.BatchGenerator(train_ids, cfg.batch_size,
                                         cfg.num_unrollings)
@@ -192,12 +202,19 @@ def main(argv=None):
                 result.update(latest_model=epoch, best_model=best_epoch,
                               best_valid_ppl=float(best_valid_ppl))
         # test-set ppl with the best model (reference: train_lm.py:344-351)
-        best = best_ckpt.restore(ts, epoch=best_epoch)
-        test_cfg = cfg.replace(batch_size=1, num_unrollings=1)
-        test_gen = char_rnn.BatchGenerator(test_ids, 1, 1)
-        _, test_ppl = run_epoch(best, test_cfg, test_gen, len(test_ids),
-                                is_training=False)
-        result["test_ppl"] = float(test_ppl)
+        if best_epoch is None:  # --num_epochs 0: score the current state
+            best = ts
+        else:
+            best = best_ckpt.restore(ts, epoch=best_epoch)
+        if len(test_ids) >= 2:
+            test_cfg = cfg.replace(batch_size=1, num_unrollings=1)
+            test_gen = char_rnn.BatchGenerator(test_ids, 1, 1)
+            _, test_ppl = run_epoch(best, test_cfg, test_gen, len(test_ids),
+                                    is_training=False)
+            result["test_ppl"] = float(test_ppl)
+        else:
+            log.warning("test split has %d encoded chars; skipping test ppl",
+                        len(test_ids))
     finally:
         with open(os.path.join(out, "result.json"), "w") as f:
             json.dump(result, f, indent=2, sort_keys=True)
