@@ -186,3 +186,36 @@ def test_multi_step_dispatch_full_metrics(rng):
         singles.append(float(m["loss"]))
     np.testing.assert_allclose(np.asarray(metrics["loss"]), singles,
                                rtol=1e-5)
+
+
+def test_grad_accum_applies_microstep_lr_schedule():
+    """With grad_accum_steps=k the inner optimizer's count advances once
+    per k micro-steps; the applied LR must still follow the MICRO-step
+    schedule (what the logs report and the reference defines,
+    las/las.py:351-369).  Decay halving every 4 micro-steps + accum 4:
+    the second flushed update must be ~half the first."""
+    import optax
+    from automatic_speech_recognition_tpu.models import las as las_mod
+    cfg = Config(**{**TINY, "grad_accum_steps": 4, "lr": 1.0,
+                    "lr_decay_start": 0, "lr_decay_step": 4,
+                    "lr_decay_rate": 0.5, "lr_min_ratio": 0.0,
+                    "grad_clip": 0.0})
+    tx = trainer.make_optimizer(cfg)
+    p = {"w": jax.numpy.zeros((1,))}
+    st = tx.init(p)
+    g = {"w": jax.numpy.ones((1,))}
+    vals = []
+    for _ in range(8):  # two flushes of 4 micro-steps
+        up, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, up)
+        vals.append(float(p["w"][0]))
+    first = abs(vals[3] - 0.0)        # update applied at micro-step 4
+    second = abs(vals[7] - vals[3])   # update applied at micro-step 8
+    # adam with constant grads: |update| ~ applied lr; ratio pins the
+    # schedule argument scaling (0.5 if micro-step-based, 1.0 if not,
+    # 0.5**(1/4) if inner-count-based with step=4)
+    assert first > 0
+    np.testing.assert_allclose(second / first, 0.5, rtol=0.05)
+    # and the schedule the metrics report matches at the flush points
+    np.testing.assert_allclose(
+        float(las_mod.scheduled_learning_rate(cfg, 4)), 0.5, rtol=1e-6)
