@@ -30,9 +30,17 @@ def load_native(lib_name: str,
             return _libs[lib_name]
         path = os.path.join(NATIVE_DIR, lib_name)
         try:
-            if not os.path.exists(path):
+            # always invoke make: its dependency tracking makes an
+            # up-to-date build a no-op, and a checkout with a stale .so
+            # (gitignored artifact) picks up C++ source changes instead of
+            # silently running old native code.  If make is unavailable
+            # but a .so exists, fall back to loading it as-is.
+            try:
                 subprocess.run(["make", "-C", NATIVE_DIR, lib_name],
                                check=True, capture_output=True)
+            except (OSError, subprocess.SubprocessError):
+                if not os.path.exists(path):
+                    raise
             lib = ctypes.CDLL(path)
             configure(lib)
         except (OSError, subprocess.SubprocessError):

@@ -33,7 +33,15 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         cid = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            # fail loudly on truncation instead of decoding clipped audio
+            # (the FLAC path errors on short files the same way)
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes but "
+                f"only {len(body)} remain ({path})")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"malformed WAV: short fmt chunk ({path})")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             raw = body

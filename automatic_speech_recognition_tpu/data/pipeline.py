@@ -113,6 +113,9 @@ class BucketedLoader:
     def _record_stream(self) -> Iterator[Tuple]:
         """Yields (reader, index, featlen) without materializing records."""
         while True:
+            # per-pass counter: the docstring promises drops for the
+            # LATEST pass, and the training stream is infinite
+            self.dropped = 0
             files = list(self.files)
             if self.is_training:
                 self._rng.shuffle(files)

@@ -29,6 +29,8 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..utils.numerics import cdiv
+
 MAGIC = b"ARSH"
 VERSION = 1
 _HDR = struct.Struct("<4sIQ IIQ")
@@ -130,12 +132,17 @@ def create_shards(feats: Sequence[np.ndarray], tokens: Sequence[Sequence[int]],
     keep = [i for i in order
             if maxlen is None or len(feats[i]) < maxlen]
     paths = []
-    num_files = max(1, len(keep) // records_per_shard)
-    per = len(keep) // num_files
+    # ceil: no shard may exceed the per-shard target (floor left shards of
+    # up to 2*records_per_shard-1 records, e.g. 9,999 in one "5k" shard);
+    # the remainder spreads one record each over the first shards so the
+    # cap holds for any target size
+    num_files = max(1, cdiv(len(keep), records_per_shard))
+    per, rem = divmod(len(keep), num_files)
+    lo = 0
     for s in range(num_files):
-        lo = s * per
-        hi = (s + 1) * per if s < num_files - 1 else len(keep)
+        hi = lo + per + (1 if s < rem else 0)
         idx = keep[lo:hi]
+        lo = hi
         path = f"{prefix}-{s + start_index}.arsh"
         write_shard(path, [feats[i] for i in idx], [tokens[i] for i in idx])
         paths.append(path)

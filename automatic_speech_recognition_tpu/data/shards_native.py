@@ -64,11 +64,18 @@ class NativeShardReader:
     def __len__(self) -> int:
         return self.num_records
 
+    def _handle(self):
+        # ValueError (matching the pure-Python reader's misuse behavior)
+        # instead of passing NULL into C, which would segfault
+        if self._h is None:
+            raise ValueError(f"reader is closed ({self.path})")
+        return self._h
+
     def featlen(self, i: int) -> int:
-        return int(self._lib.shard_featlen(self._h, i))
+        return int(self._lib.shard_featlen(self._handle(), i))
 
     def tokenlen(self, i: int) -> int:
-        return int(self._lib.shard_tokenlen(self._h, i))
+        return int(self._lib.shard_tokenlen(self._handle(), i))
 
     def read_into(self, i: int, feat_row: np.ndarray,
                   tok_row: np.ndarray) -> Tuple[int, int]:
@@ -80,10 +87,21 @@ class NativeShardReader:
             raise ValueError(
                 f"destination row {feat_row.shape[1:]} != shard geometry "
                 f"({self.feat_dim}, {self.channels})")
+        # the C side writes raw bytes through the ctypes data pointer, so
+        # dtype and layout must match exactly too (a float64 or strided
+        # destination would pass the shape check and fill with garbage)
+        if feat_row.dtype != np.float32 or not feat_row.flags.c_contiguous:
+            raise ValueError(
+                f"feat destination must be C-contiguous float32, got "
+                f"{feat_row.dtype}, contiguous={feat_row.flags.c_contiguous}")
+        if tok_row.dtype != np.int32 or not tok_row.flags.c_contiguous:
+            raise ValueError(
+                f"token destination must be C-contiguous int32, got "
+                f"{tok_row.dtype}, contiguous={tok_row.flags.c_contiguous}")
         T = ctypes.c_int32()
         L = ctypes.c_int32()
         rc = self._lib.shard_read_into(
-            self._h, i,
+            self._handle(), i,
             feat_row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             feat_row.shape[0],
             tok_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -5,7 +5,11 @@
 // decoder: the full FLAC subset needed for speech corpora — constant /
 // verbatim / fixed / LPC subframes, Rice(2) residuals with escape
 // partitions, all channel assignments (independent, left/side, right/side,
-// mid/side), 8..32-bit samples, any block size.
+// mid/side), 8..32-bit samples, any block size.  One documented limit:
+// 32-bit streams using a stereo decorrelation mode need a 33-bit side
+// channel (int64 sample path); those return decode error 7.  Speech
+// corpora are 16/24-bit, and 32-bit FLAC itself only arrived with FLAC
+// 1.4 — independent-channel 32-bit still decodes fine.
 //
 // Exposed as a tiny C ABI consumed via ctypes (data/flac.py):
 //   flac_decode(data, size, &samples, &n, &rate, &channels, &bps) -> 0/err
@@ -331,6 +335,9 @@ int flac_decode(const uint8_t* data, size_t size, int32_t** out_samples,
       if ((left_side && c == 1) || (right_side && c == 0)
           || (mid_side && c == 1))
         sub_bps += 1;                    // side channel carries 1 extra bit
+      // sub_bps 33 (32-bit stream + decorrelation) would need 64-bit
+      // sample reads; decode_subframe's bps > 32 guard rejects it — see
+      // the header comment for this documented limitation
       ok = decode_subframe(br, blocksize, sub_bps, ch[c]);
     }
     if (!ok || br.error) { decode_error = true; break; }

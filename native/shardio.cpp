@@ -40,7 +40,7 @@ struct Shard {
   const uint8_t* base = nullptr;
   size_t size = 0;
   Header hdr{};
-  const uint64_t* offsets = nullptr;
+  const uint8_t* offsets = nullptr;  // raw index bytes (may be 4-aligned)
 };
 
 }  // namespace
@@ -80,7 +80,7 @@ void* shard_open(const char* path) {
     delete s;
     return nullptr;
   }
-  s->offsets = (const uint64_t*)(s->base + s->hdr.index_offset);
+  s->offsets = s->base + s->hdr.index_offset;
   return s;
 }
 
@@ -92,13 +92,26 @@ void shard_close(void* h) {
   delete s;
 }
 
-int64_t shard_num_records(void* h) { return ((Shard*)h)->hdr.num_records; }
-int32_t shard_feat_dim(void* h) { return ((Shard*)h)->hdr.feat_dim; }
-int32_t shard_channels(void* h) { return ((Shard*)h)->hdr.channels; }
+// null-handle guards: Python wrappers raise on a closed reader, but a
+// NULL passed through ctypes must not dereference
+int64_t shard_num_records(void* h) {
+  return h ? (int64_t)((Shard*)h)->hdr.num_records : -1;
+}
+int32_t shard_feat_dim(void* h) { return h ? ((Shard*)h)->hdr.feat_dim : -1; }
+int32_t shard_channels(void* h) { return h ? ((Shard*)h)->hdr.channels : -1; }
+
+// The index can land on a 4-byte boundary (header 32 B + records of
+// 8 + 4*words B), so a direct uint64_t* load would be misaligned UB on
+// strict-alignment targets; memcpy is the portable load.
+static inline uint64_t index_at(const Shard* s, int64_t i) {
+  uint64_t off;
+  memcpy(&off, s->offsets + 8 * i, 8);
+  return off;
+}
 
 static inline const uint8_t* record_ptr(const Shard* s, int64_t i,
                                         uint32_t* T, uint32_t* L) {
-  uint64_t off = s->offsets[i];
+  uint64_t off = index_at(s, i);
   if (off > s->size || s->size - off < 8) return nullptr;  // no overflow
   memcpy(T, s->base + off, 4);
   memcpy(L, s->base + off + 4, 4);
@@ -107,14 +120,14 @@ static inline const uint8_t* record_ptr(const Shard* s, int64_t i,
 
 int32_t shard_featlen(void* h, int64_t i) {
   Shard* s = (Shard*)h;
-  if (i < 0 || (uint64_t)i >= s->hdr.num_records) return -1;
+  if (!s || i < 0 || (uint64_t)i >= s->hdr.num_records) return -1;
   uint32_t T, L;
   return record_ptr(s, i, &T, &L) ? (int32_t)T : -1;
 }
 
 int32_t shard_tokenlen(void* h, int64_t i) {
   Shard* s = (Shard*)h;
-  if (i < 0 || (uint64_t)i >= s->hdr.num_records) return -1;
+  if (!s || i < 0 || (uint64_t)i >= s->hdr.num_records) return -1;
   uint32_t T, L;
   return record_ptr(s, i, &T, &L) ? (int32_t)L : -1;
 }
@@ -125,7 +138,7 @@ int shard_read_into(void* h, int64_t i, float* feat_dst, int32_t max_frames,
                     int32_t* tok_dst, int32_t max_tokens,
                     int32_t* out_T, int32_t* out_L) {
   Shard* s = (Shard*)h;
-  if (i < 0 || (uint64_t)i >= s->hdr.num_records) return 1;
+  if (!s || i < 0 || (uint64_t)i >= s->hdr.num_records) return 1;
   uint32_t T, L;
   const uint8_t* p = record_ptr(s, i, &T, &L);
   if (!p) return 2;
@@ -133,7 +146,7 @@ int shard_read_into(void* h, int64_t i, float* feat_dst, int32_t max_frames,
   // products fit u64; compare against the remaining bytes by subtraction
   uint64_t row = (uint64_t)s->hdr.feat_dim * s->hdr.channels;
   uint64_t feat_bytes = (uint64_t)T * row * 4;
-  uint64_t avail = s->size - s->offsets[i] - 8;  // record_ptr checked >= 8
+  uint64_t avail = s->size - index_at(s, i) - 8;  // record_ptr checked >= 8
   if (feat_bytes > avail || (uint64_t)L * 4 > avail - feat_bytes) return 3;
   uint32_t copy_T = T < (uint32_t)max_frames ? T : (uint32_t)max_frames;
   uint32_t copy_L = L < (uint32_t)max_tokens ? L : (uint32_t)max_tokens;
