@@ -213,6 +213,12 @@ def decode_step(params, cfg: Config, enc_out, enc_len, states, prev_emb,
 def scheduled_sampling_rate(cfg: Config, step) -> jnp.ndarray:
     """Linear decay 1.0 -> min_rate between warmup and max step
     (reference: las/las.py:177-183)."""
+    if cfg.max_step <= cfg.warmup_step:
+        # a negative decay window silently INVERTS the schedule (min_rate
+        # at step 0 rising back to 1.0) — refuse loudly instead
+        raise ValueError(
+            f"scheduled sampling needs max_step > warmup_step, got "
+            f"warmup_step={cfg.warmup_step} max_step={cfg.max_step}")
     step = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
     progress = jnp.minimum(
         (step - cfg.warmup_step) / float(cfg.max_step - cfg.warmup_step), 1.0)
