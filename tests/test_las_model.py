@@ -88,6 +88,28 @@ def test_scheduled_sampling_rate():
     assert float(las.scheduled_sampling_rate(cfg, jnp.array(9999))) == pytest.approx(0.4)
 
 
+def test_scheduled_sampling_warmup_equals_teacher_forcing():
+    """During warmup (tf_rate pinned at 1.0) the scheduled-sampling
+    program must be semantically pure teacher forcing: same loss as the
+    scheduled_sampling=False program for identical params/batch/rng.
+    (Reference: tf_rate==1 makes the batch coin always pick the teacher
+    branch, las/las.py:100-109.)  The 12k-corpus study showed the two
+    compiled programs still diverge over thousands of bf16 steps
+    (benchmarks/WER_SYNTH.md seed-control section) — this pins that the
+    divergence is rounding/chaos, not a semantic difference."""
+    cfg_off = tiny_cfg(scheduled_sampling=False)
+    cfg_on = tiny_cfg(scheduled_sampling=True, warmup_step=100,
+                      max_step=500, min_rate=0.4)
+    params, state = las.las_init(jax.random.PRNGKey(0), cfg_off)
+    batch = fake_batch(cfg_off)
+    rng = jax.random.PRNGKey(7)
+    loss_off, _ = las.total_loss(params, state, batch, cfg_off, 6, rng,
+                                 jnp.array(50))
+    loss_on, _ = las.total_loss(params, state, batch, cfg_on, 6, rng,
+                                jnp.array(50))
+    np.testing.assert_allclose(float(loss_on), float(loss_off), rtol=1e-6)
+
+
 def test_scheduled_learning_rate():
     cfg = tiny_cfg(lr=1e-4)
     assert float(las.scheduled_learning_rate(cfg, 0)) == pytest.approx(1e-4)
