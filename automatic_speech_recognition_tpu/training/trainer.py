@@ -66,13 +66,26 @@ def _apply_update(ts: TrainState, batch, cfg: Config, dec_steps: int):
     return new_ts, loss, logits, alphas, grads
 
 
-def _full_metrics(cfg, step, loss, logits, alphas, grads):
+def _att_peak(alphas, tokenlen):
+    """Mean max attention weight over valid decoder steps: ~1/T_enc while
+    attention is diffuse, -> 1.0 once it locks.  A one-scalar version of
+    the alignment-image check the reference tells users to watch in
+    TensorBoard to verify learning (README.md:40); the 12k-corpus study
+    (benchmarks/WER_SYNTH.md) shows WER tracks this transition."""
+    steps = jnp.arange(alphas.shape[1])[None, :]
+    mask = (steps < tokenlen[:, None]).astype(alphas.dtype)
+    peak = jnp.max(alphas, axis=-1)  # (B, S); padded enc positions are ~0
+    return jnp.sum(peak * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def _full_metrics(cfg, step, loss, logits, alphas, grads, tokenlen):
     return {
         "loss": loss,
         "lr": las.scheduled_learning_rate(cfg, step),
         "tf_rate": (las.scheduled_sampling_rate(cfg, step)
                     if cfg.scheduled_sampling else jnp.array(1.0)),
         "grad_norm": optax.global_norm(grads),
+        "att_peak": _att_peak(alphas, tokenlen),
         "sample_ids": jnp.argmax(logits[0], -1),
         "sample_alphas": alphas[0],
     }
@@ -89,7 +102,8 @@ def train_step(ts: TrainState, batch, cfg: Config, dec_steps: int):
     """
     new_ts, loss, logits, alphas, grads = _apply_update(ts, batch, cfg,
                                                         dec_steps)
-    return new_ts, _full_metrics(cfg, ts.step, loss, logits, alphas, grads)
+    return new_ts, _full_metrics(cfg, ts.step, loss, logits, alphas, grads,
+                                 batch[3])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dec_steps"),
@@ -111,7 +125,7 @@ def train_multi_step(ts: TrainState, batches, cfg: Config, dec_steps: int):
         new_ts, loss, logits, alphas, grads = _apply_update(ts, batch, cfg,
                                                             dec_steps)
         return new_ts, _full_metrics(cfg, ts.step, loss, logits, alphas,
-                                     grads)
+                                     grads, batch[3])
 
     ts, metrics = jax.lax.scan(one, ts, batches)
     return ts, metrics
@@ -152,7 +166,7 @@ def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config):
         new_ts, loss, logits, alphas, grads = _apply_update(ts, batch, cfg,
                                                             dec_steps)
         return new_ts, _full_metrics(cfg, ts.step, loss, logits, alphas,
-                                     grads)
+                                     grads, batch[3])
 
     jitted = jax.jit(step_fn, in_shardings=(state_sh, batch_sh),
                      out_shardings=(state_sh, None),

@@ -45,6 +45,10 @@ def test_overfit_tiny_batch(rng):
         losses.append(float(m["loss"]))
     assert losses[-1] < 0.3 * losses[0], losses[::10]
     assert losses[-1] < 1.0, losses[-1]
+    # the alignment-transition scalar is a valid probability and sharpens
+    # as the model overfits (diffuse ~1/T_enc at init)
+    att = float(m["att_peak"])
+    assert 0.0 <= att <= 1.0 + 1e-6, att
 
 
 def test_checkpoint_roundtrip_resume(tmp_path, rng):
@@ -174,8 +178,8 @@ def test_multi_step_dispatch_full_metrics(rng):
     stacked = tuple(np.stack([b] * K) for b in batch)
     ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
     _, metrics = trainer.train_multi_step(ts, stacked, cfg, dec_steps=8)
-    for key in ("loss", "lr", "tf_rate", "grad_norm", "sample_ids",
-                "sample_alphas"):
+    for key in ("loss", "lr", "tf_rate", "grad_norm", "att_peak",
+                "sample_ids", "sample_alphas"):
         assert key in metrics and metrics[key].shape[0] == K, key
     assert np.all(np.isfinite(np.asarray(metrics["lr"])))
     # chained single steps produce the same per-step losses

@@ -193,9 +193,11 @@ def main(argv=None):
             sps = (global_step - s_last) / max(now - t_last, 1e-9)
             t_last, s_last = now, global_step
             log.info("step %d/%d loss %.4f lr %.2e tf %.2f gnorm %.2f "
-                     "(%.2f steps/s)", global_step, total_steps,
-                     m["loss"], m["lr"], m["tf_rate"], m["grad_norm"], sps)
+                     "att %.2f (%.2f steps/s)", global_step, total_steps,
+                     m["loss"], m["lr"], m["tf_rate"], m["grad_norm"],
+                     m["att_peak"], sps)
             writer.scalar("train/loss", m["loss"], global_step)
+            writer.scalar("train/att_peak", m["att_peak"], global_step)
             writer.scalar("train/steps_per_sec", sps, global_step)
             if not np.isnan(m["lr"]):
                 writer.scalar("train/lr", m["lr"], global_step)
