@@ -160,6 +160,10 @@ class Config:
     # (beam_search.py:297-312); >=0 = GNMT ((5+len)/6)^alpha (0 disables
     # normalization; fractional alpha damps early-EOS selection)
     beam_len_penalty: float = -1.0
+    # joint CTC/attention one-pass decoding (Watanabe et al. 2017),
+    # beyond-reference: step score = (1-w)*logP_att + w*dPsi_ctc.  Needs a
+    # --ctc-trained checkpoint and --beam_logprob True.  0 = off.
+    ctc_beam_weight: float = 0.0
     # training decoder runs ~max(tokenlen) scan steps per batch like the
     # reference (las/las.py:246-249) instead of always max_tokenlen: token
     # padding rounds the batch max up to token_pad_quantum (few static jit

@@ -30,6 +30,13 @@ Reference semantics reproduced exactly (las/beam_search.py):
 - LM shallow fusion: ids shifted by -2 into the LM vocab, one LM step per
   beam per decode step, `logits[:, 2:] += lm_weight * lm_logits`
   (:109-116, :226-236).  A shifted `<SOS>` (= -1) embeds as a zero vector.
+
+Beyond-reference: joint CTC/attention one-pass decoding
+(cfg.ctc_beam_weight w > 0, requires a --ctc-trained checkpoint and
+logprob scoring): per-step score = (1-w) * logP_att + w * dPsi, where
+dPsi is the CTC prefix-probability increment from decoding/ctc_prefix.py
+(Watanabe et al. 2017).  The LM term, when enabled, stays inside the
+attention logits exactly as the reference applies it.
 """
 
 from __future__ import annotations
@@ -44,6 +51,7 @@ from ..config import Config
 from ..models import char_rnn, las
 from ..ops import attention as att
 from ..ops import layers as L
+from . import ctc_prefix
 
 NEG = -1.0e30
 SOS_ID = 1
@@ -90,13 +98,19 @@ def _gather_state(tree, idx):
 
 def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
                         dec_step, max_steps: int, beam_size: int,
-                        logprob: bool, lm_params, lm_cfg):
+                        logprob: bool, lm_params, lm_cfg, ctc_logp=None):
     """Beam search for ONE utterance; vmapped over the batch by the caller.
 
-    enc_out: (T, H); enc_len: scalar; dec_step: scalar step budget.
+    enc_out: (T, H); enc_len: scalar; dec_step: scalar step budget;
+    ctc_logp: (T, V+1) CTC-head log-probs for joint decoding, or None.
     """
     K, V = beam_size, cfg.vocab_size
     T, H = enc_out.shape
+    use_ctc = ctc_logp is not None and cfg.ctc_beam_weight > 0
+    if use_ctc:
+        ctc_w = float(cfg.ctc_beam_weight)
+        ctc_x = ctc_prefix.masked_logp(ctc_logp.astype(jnp.float32),
+                                       enc_len)
     enc_out_k = jnp.broadcast_to(enc_out, (K, T, H))
     enc_len_k = jnp.broadcast_to(enc_len, (K,))
     # encoder projection shared by every step and every beam
@@ -118,6 +132,8 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         bank_score: jnp.ndarray    # (K,) normalized, NEG if empty
         n_finished: jnp.ndarray
         lm_states: Any
+        ctc_r: Any                 # (K, T, 2) CTC forward vars, or ()
+        ctc_psi: Any               # (K,) CTC prefix scores, or ()
 
     # decoder activations ride the configured compute dtype; scores
     # (cum/bank) always accumulate float32
@@ -137,6 +153,9 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         bank_score=jnp.full((K,), NEG, jnp.float32),
         n_finished=jnp.zeros((), jnp.int32),
         lm_states=(char_rnn.zero_state(lm_cfg, K) if use_lm else ()),
+        ctc_r=(jnp.broadcast_to(ctc_prefix.init_state(ctc_x), (K, T, 2))
+               if use_ctc else ()),
+        ctc_psi=(jnp.zeros((K,), jnp.float32) if use_ctc else ()),
     )
 
     def cond(c: Carry):
@@ -156,6 +175,12 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         else:
             new_lm_states = c.lm_states
         step_scores = jax.nn.log_softmax(logits, -1) if logprob else logits
+        if use_ctc:
+            # at t=0 the prefix is empty: no token can be a "repeat"
+            last_ids = jnp.where(c.t > 0, c.prev_ids, -1)
+            psi_delta, ctc_r_all, ctc_psi_all = ctc_prefix.step(
+                ctc_x, c.ctc_r, c.ctc_psi, last_ids, c.t == 0)
+            step_scores = (1.0 - ctc_w) * step_scores + ctc_w * psi_delta
         if K > TOP_EXPANSIONS:
             # only then can pruning change the global top-K selection
             step_scores = prune_expansions(step_scores, TOP_EXPANSIONS)
@@ -199,6 +224,8 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
             n_finished=c.n_finished + jnp.sum(eos).astype(jnp.int32),
             lm_states=(_gather_state(new_lm_states, parent)
                        if use_lm else c.lm_states),
+            ctc_r=(ctc_r_all[parent, tok] if use_ctc else c.ctc_r),
+            ctc_psi=(ctc_psi_all[parent, tok] if use_ctc else c.ctc_psi),
         )
 
     c = jax.lax.while_loop(cond, body, init)
@@ -241,5 +268,22 @@ def beam_search(params, bn_state, audio, audiolen, cfg: Config,
                            max_steps=max_steps, beam_size=beam_size,
                            logprob=logprob, lm_params=lm_params,
                            lm_cfg=lm_cfg)
-    tokens, lengths, scores = jax.vmap(fn)(enc_out, enc_len, dec_step)
+    if cfg.ctc_beam_weight > 0:
+        if not logprob:
+            raise ValueError(
+                "joint CTC decoding (ctc_beam_weight > 0) mixes log "
+                "probabilities; raw-logit scoring is meaningless there — "
+                "pass --beam_logprob True")
+        if "ctc_head" not in params["speller"]:
+            raise ValueError(
+                "ctc_beam_weight > 0 needs a checkpoint trained with "
+                "--ctc True (no ctc_head in the restored parameters)")
+        ctc_logp = jax.nn.log_softmax(
+            L.dense_apply(params["speller"]["ctc_head"],
+                          enc_out).astype(jnp.float32), -1)
+        tokens, lengths, scores = jax.vmap(
+            lambda eo, el, ds, cl: fn(eo, el, ds, ctc_logp=cl))(
+                enc_out, enc_len, dec_step, ctc_logp)
+    else:
+        tokens, lengths, scores = jax.vmap(fn)(enc_out, enc_len, dec_step)
     return BeamResult(tokens, lengths, scores)

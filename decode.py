@@ -67,6 +67,17 @@ def main(argv=None):
     cfg = cfg.replace(vocab_size=tokenizer.get_vocab_size())
 
     lm_params, lm_cfg = None, None
+    if cfg.ctc_beam_weight > 0:
+        if not cfg.ctc:
+            raise ValueError(
+                "--ctc_beam_weight needs --ctc True so the checkpoint's "
+                "CTC head is part of the restored parameter structure")
+        if not cfg.beam_logprob:
+            raise ValueError(
+                "--ctc_beam_weight mixes log probabilities; pass "
+                "--beam_logprob True")
+        log.info("joint CTC/attention decoding, weight %.2f",
+                 cfg.ctc_beam_weight)
     if cfg.apply_lm:
         from sample_lm import load_lm
         lm_params, lm_cfg, _, _ = load_lm(cfg.lm_dir)

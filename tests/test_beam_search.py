@@ -280,3 +280,71 @@ def test_gnmt_length_penalty_matches_host_reference(alpha):
         assert list(got) == ids, (alpha, b, list(got), ids)
         np.testing.assert_allclose(float(res.scores[b, 0]), score,
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_joint_ctc_score_decomposes():
+    """Joint CTC/attention decoding (ctc_beam_weight w): the winning
+    hypothesis's reported score must telescope to
+    (1-w)*sum_t logP_att(tok_t) + w*psi_ctc(h), divided by the length
+    divisor — psi_ctc checked against brute-force alignment enumeration
+    (decoding/ctc_prefix.host_reference_prefix_logp)."""
+    from automatic_speech_recognition_tpu.decoding import ctc_prefix as cp
+    w = 0.4
+    cfg = Config(unit="char", vocab_size=5, feat_dim=8, enc_type="cnn",
+                 enc_units=12, num_enc_channels=4, num_enc_layers=1,
+                 dec_units=12, num_dec_layers=2, embedding_size=8,
+                 attention_size=8, mode="add", dropout_rate=0.0,
+                 scheduled_sampling=False, apply_bn=False, ctc=True,
+                 convert_rate=0.3, ctc_beam_weight=w)
+    rng = np.random.default_rng(5)
+    params, bn_state = las.las_init(jax.random.PRNGKey(5), cfg)
+    B, T, K, max_steps = 2, 24, 3, 8
+    audio = jnp.asarray(rng.standard_normal((B, T, cfg.feat_dim, 3)),
+                        jnp.float32)
+    audiolen = jnp.asarray([T, T - 6], jnp.int32)
+    res = beam_lib.beam_search(params, bn_state, audio, audiolen, cfg,
+                               max_steps=max_steps, beam_size=K,
+                               logprob=True)
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn_state["listener"], audio, audiolen, cfg,
+        is_training=False)
+    for b in range(B):
+        n = int(res.lengths[b, 0])
+        hyp = list(np.asarray(res.tokens[b, 0])[:n])
+        # attention part: teacher-force the hypothesis on the host
+        prev = 1  # <SOS>
+        align = jnp.zeros((1, enc_out.shape[1]), jnp.float32)
+        state = jnp.zeros((cfg.num_dec_layers, 1, cfg.dec_units),
+                          jnp.float32)
+        att_logp = 0.0
+        for tok in hyp:
+            emb = L.embedding_lookup(params["speller"]["embedding"],
+                                     jnp.asarray([prev], jnp.int32))
+            logits, state, align = las.decode_step(
+                params["speller"], cfg, enc_out[b:b + 1], enc_len[b:b + 1],
+                state, emb, align)
+            lp = np.asarray(jax.nn.log_softmax(logits[0]))
+            att_logp += float(lp[tok])
+            prev = tok
+        # CTC part: brute-force prefix probability on the true frames
+        ctc_logits = L.dense_apply(params["speller"]["ctc_head"],
+                                   enc_out[b])
+        logp = np.asarray(jax.nn.log_softmax(ctc_logits, -1),
+                          np.float64)[:int(enc_len[b])]
+        psi = cp.host_reference_prefix_logp(logp, hyp)
+        want = ((1.0 - w) * att_logp + w * psi) / n
+        np.testing.assert_allclose(float(res.scores[b, 0]), want,
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_joint_ctc_guards():
+    """Raw-logit scoring with ctc_beam_weight is rejected; a checkpoint
+    without a CTC head is rejected."""
+    cfg = CFG.replace(ctc_beam_weight=0.3)
+    params, bn_state, audio, audiolen = _setup()
+    with pytest.raises(ValueError, match="beam_logprob"):
+        beam_lib.beam_search(params, bn_state, audio, audiolen, cfg,
+                             max_steps=4, beam_size=2, logprob=False)
+    with pytest.raises(ValueError, match="ctc_head"):
+        beam_lib.beam_search(params, bn_state, audio, audiolen, cfg,
+                             max_steps=4, beam_size=2, logprob=True)
