@@ -164,6 +164,10 @@ class Config:
     # beyond-reference: step score = (1-w)*logP_att + w*dPsi_ctc.  Needs a
     # --ctc-trained checkpoint and --beam_logprob True.  0 = off.
     ctc_beam_weight: float = 0.0
+    # test.py decoder: 'attention' = the reference's greedy argmax rollout
+    # (las/las.py:306-318); 'ctc_greedy' = encoder-only CTC collapse
+    # (decoding/ctc.py, needs a --ctc-trained checkpoint)
+    eval_decoder: str = "attention"
     # training decoder runs ~max(tokenlen) scan steps per batch like the
     # reference (las/las.py:246-249) instead of always max_tokenlen: token
     # padding rounds the batch max up to token_pad_quantum (few static jit

@@ -39,6 +39,13 @@ def main(argv=None):
                         format="%(asctime)s [%(levelname)s] %(message)s")
     log = logging.getLogger("test")
 
+    if cfg.eval_decoder not in ("attention", "ctc_greedy"):
+        raise ValueError(f"unknown --eval_decoder {cfg.eval_decoder!r} "
+                         "(want 'attention' or 'ctc_greedy')")
+    if cfg.eval_decoder == "ctc_greedy" and not cfg.ctc:
+        raise ValueError("--eval_decoder ctc_greedy needs --ctc True so "
+                         "the checkpoint's CTC head is restored")
+
     tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
     cfg = cfg.replace(vocab_size=tokenizer.get_vocab_size())
 
@@ -73,8 +80,22 @@ def main(argv=None):
             audiolen = np.pad(audiolen, (0, pad), constant_values=1)
         dec_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
         try:
-            _, y_hat = trainer.eval_forward(ts.params, ts.bn_state,
-                                            audio, audiolen, cfg, dec_steps)
+            if cfg.eval_decoder == "ctc_greedy":
+                from automatic_speech_recognition_tpu.decoding.ctc import \
+                    ctc_greedy_decode
+                toks, lens = ctc_greedy_decode(ts.params, ts.bn_state,
+                                               audio, audiolen, cfg)
+                toks = np.asarray(jax.device_get(toks))
+                lens = np.asarray(jax.device_get(lens))
+                # pad the collapsed ids with <EOS> so detokenization cuts
+                # there even when the CTC path never emits one itself
+                y_hat = np.where(
+                    np.arange(toks.shape[1])[None, :] < lens[:, None],
+                    toks, 2)
+            else:
+                _, y_hat = trainer.eval_forward(ts.params, ts.bn_state,
+                                                audio, audiolen, cfg,
+                                                dec_steps)
         except Exception as e:  # reference skips bad eval batches silently
             log.warning("eval batch failed, skipping %d utts: %s",
                         real_b, e)  # test.py:105-111 (but accounted for)

@@ -3,6 +3,7 @@ and learnability of the CTC head on a separable toy problem."""
 
 import jax
 import numpy as np
+import pytest
 
 from automatic_speech_recognition_tpu.config import Config
 from automatic_speech_recognition_tpu.decoding.ctc import ctc_greedy_decode
@@ -95,3 +96,49 @@ def test_ctc_compat_drop_last_quirk(rng):
     # default path is unaffected
     correct = float(las.ctc_loss(logits, jnp.asarray(y), enc_len, CFG))
     assert abs(correct - quirk) > 1e-6
+
+
+def test_eval_decoder_ctc_greedy_cli(tmp_path, rng):
+    """`test.py --eval_decoder ctc_greedy` runs the encoder-only CTC path
+    end-to-end: tiny --ctc training on fabricated shards, then a CTC
+    greedy eval that must produce prediction dumps and a finite WER."""
+    import os
+
+    from automatic_speech_recognition_tpu.data import shards
+    import test as test_cli
+    import train as train_cli
+
+    root = str(tmp_path)
+    feats = [rng.standard_normal((48, 13, 3)).astype(np.float32)
+             for _ in range(8)]
+    tokens = [np.asarray([4 + (i % 3), 5, 2], np.int32) for i in range(8)]
+    os.makedirs(f"{root}/shards")
+    shards.write_shard(f"{root}/shards/train-1.arsh", feats, tokens)
+    shards.write_shard(f"{root}/shards/dev-1.arsh", feats[:4], tokens[:4])
+
+    flags = ["--unit", "char", "--feat_dim", "13",
+             "--shard_dir", f"{root}/shards", "--save_dir", f"{root}/model",
+             "--log_dir", f"{root}/log", "--summary_dir", f"{root}/sum",
+             "--enc_units", "8", "--num_enc_channels", "4",
+             "--num_enc_layers", "1", "--dec_units", "8",
+             "--num_dec_layers", "1", "--embedding_size", "8",
+             "--attention_size", "8", "--mode", "add",
+             "--dropout_rate", "0.0", "--scheduled_sampling", "False",
+             "--ctc", "True", "--ctc_weight", "0.5",
+             "--bucket_boundaries_train", "128",
+             "--bucket_batch_sizes", "8", "--max_tokenlen_train", "8"]
+    train_cli.main(flags + ["--epoch", "1", "--steps_per_epoch", "2"])
+    test_cli.main(flags + ["--split", "dev",
+                           "--eval_decoder", "ctc_greedy",
+                           "--bucket_boundaries_eval", "128"])
+    pred = open(f"{root}/log/test_pred.txt").read().splitlines()
+    assert len(pred) == 4
+    # rejects decoders that don't exist, and ctc_greedy without --ctc
+    with pytest.raises(ValueError, match="eval_decoder"):
+        test_cli.main(flags + ["--split", "dev",
+                               "--eval_decoder", "nope"])
+    i = flags.index("--ctc")
+    no_ctc_flags = flags[:i] + flags[i + 2:]
+    with pytest.raises(ValueError, match="ctc_greedy needs"):
+        test_cli.main(no_ctc_flags + ["--split", "dev",
+                                      "--eval_decoder", "ctc_greedy"])
