@@ -1,10 +1,14 @@
 #!/bin/bash
 # The VALIDATED 12k-corpus recipe behind the headline synthesized-speech
-# result (benchmarks/WER_SYNTH.md: greedy dev WER 0.0154 / test 0.0106 at
+# result (benchmarks/WER_SYNTH.md: greedy dev WER 0.0007 / test 0.0000 at
 # epoch 28, held-out speakers): 256-unit LAS (enc 256x3 + 2 stride-2
-# convs, dec 256x2, location-aware attention) on 12,000 formant-
-# synthesized utterances, bf16, constant lr 1e-3 through the attention
-# transition then halved every 3k steps from step 9k.
+# convs, dec 256x2, location-aware attention) + joint CTC auxiliary loss
+# (--ctc_weight 0.2) on 12,000 formant-synthesized utterances, bf16,
+# constant lr 1e-3 until step 9k then halved every 3k steps.  The CTC
+# loss is what makes the attention transition deterministic (locks by
+# step 1.5k; without it the same recipe lands at 0.0154/0.0106 with
+# seed-chaotic transition timing anywhere in 3-10.6k steps — the full
+# A/B study is in WER_SYNTH.md).
 #
 # Stage selection like run.sh:
 #   bash tools/synth_12k_recipe.sh [corpus|preprocess|shards|train|eval|final]...
@@ -45,10 +49,11 @@ if run_stage shards; then
 fi
 
 if run_stage train; then
-  # 28 epochs x 750 steps; lr constant until the attention transition
-  # (~step 13k here), halving every 3k steps after 9k stabilizes the
-  # post-transition tail (see WER_SYNTH.md trajectory)
-  python3 train.py $common $model --epoch 28 --steps_per_epoch 750 \
+  # 28 epochs x 750 steps; with the CTC auxiliary loss attention locks
+  # by ~step 1.5k, so lr decay from 9k is comfortably post-transition
+  # (see WER_SYNTH.md "Joint CTC arm")
+  python3 train.py $common $model --ctc True --ctc_weight 0.2 \
+    --epoch 28 --steps_per_epoch 750 \
     --lr 1e-3 --lr_decay_start 9000 --lr_decay_step 3000 \
     --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 16 \
     --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 28
