@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -240,6 +241,54 @@ class Config:
         flen = int(round(self.sample_rate * self.frame_length / 1000.0))
         fstep = int(round(self.sample_rate * self.frame_step / 1000.0))
         return max(0, (samples - flen) // fstep)
+
+
+# Fields that determine the parameter-tree structure/shapes of a trained
+# LAS checkpoint.  An eval/decode run whose values differ from the
+# training run's cannot restore the checkpoint (the mismatch otherwise
+# surfaces as an opaque orbax tree/shape error deep in restore).
+MODEL_FIELDS = (
+    "unit", "feat_dim", "feat_type", "cmvn",
+    "enc_type", "enc_units", "num_enc_channels", "num_enc_layers",
+    "attention_size", "loc_kernel_size", "loc_num_channels", "mode",
+    "dec_units", "num_dec_layers", "embedding_size", "apply_bn", "ctc",
+)
+
+
+def save_config_snapshot(cfg: Config, save_dir: str) -> str:
+    """Write the resolved training config to save_dir/config.json.
+
+    Reproducibility aid with no reference counterpart (the reference's
+    LAS driver records nothing; only its LM trainer persists a manifest,
+    train_lm.py:399-401).  The snapshot makes a model directory
+    self-describing: eval drivers check it (`check_model_config`) and
+    humans can reconstruct the exact command line from it.
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, "config.json")
+    with open(path, "w") as f:
+        f.write(cfg.to_json())
+    return path
+
+
+def check_model_config(cfg: Config, save_dir: str):
+    """Compare cfg against save_dir/config.json; return mismatch list.
+
+    Returns [] when the snapshot is absent (pre-snapshot checkpoints) or
+    all MODEL_FIELDS agree; otherwise a list of human-readable
+    "field: ours=x, trained=y" strings for the caller to log before the
+    restore fails (or silently decodes garbage with a wrong tokenizer).
+    """
+    path = os.path.join(save_dir, "config.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        trained = Config.from_json(f.read())
+    return [
+        f"{name}: ours={getattr(cfg, name)!r}, trained={getattr(trained, name)!r}"
+        for name in MODEL_FIELDS
+        if getattr(cfg, name) != getattr(trained, name)
+    ]
 
 
 _SHORT_FLAGS = {"verbose": "-vb", "batch_size": "-bs"}

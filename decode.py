@@ -26,7 +26,8 @@ honor_platform_env()  # must run before the jax backend is frozen
 import jax
 import numpy as np
 
-from automatic_speech_recognition_tpu.config import parse_args
+from automatic_speech_recognition_tpu.config import (
+    check_model_config, parse_args)
 from automatic_speech_recognition_tpu.decoding import beam as beam_lib
 from automatic_speech_recognition_tpu.models import char_rnn
 from automatic_speech_recognition_tpu.training import trainer
@@ -117,6 +118,9 @@ def main(argv=None):
     log.info("decoding %d utterances (beam %d, lm %s)", len(feats),
              cfg.beam_size, cfg.apply_lm)
 
+    for line in check_model_config(cfg, cfg.save_dir):
+        log.warning("model flag differs from the training snapshot "
+                    "(%s/config.json) -- %s", cfg.save_dir, line)
     ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     ckpt = CheckpointManager(cfg.save_dir)
     restored = ckpt.restore_for_eval(ts, epoch=cfg.restore_epoch)

@@ -23,7 +23,8 @@ honor_platform_env()  # must run before the jax backend is frozen
 import jax
 import numpy as np
 
-from automatic_speech_recognition_tpu.config import parse_args
+from automatic_speech_recognition_tpu.config import (
+    check_model_config, parse_args)
 from automatic_speech_recognition_tpu.data.pipeline import BucketedLoader
 from automatic_speech_recognition_tpu.models import las
 from automatic_speech_recognition_tpu.training import trainer
@@ -57,6 +58,9 @@ def main(argv=None):
     loader = BucketedLoader(files, cfg, is_training=False)
     log.info("eval records: %d in %d shards", loader.num_records, len(files))
 
+    for line in check_model_config(cfg, cfg.save_dir):
+        log.warning("model flag differs from the training snapshot "
+                    "(%s/config.json) -- %s", cfg.save_dir, line)
     ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     ckpt = CheckpointManager(cfg.save_dir)
     restored = ckpt.restore_for_eval(ts, epoch=cfg.restore_epoch)

@@ -72,6 +72,30 @@ def test_config_json_roundtrip():
     assert cfg2 == cfg
 
 
+def test_config_snapshot_and_model_check(tmp_path):
+    """train.py writes save_dir/config.json; eval drivers diff their
+    model-defining flags against it (config.MODEL_FIELDS)."""
+    from automatic_speech_recognition_tpu.config import (
+        check_model_config, save_config_snapshot)
+    save_dir = str(tmp_path / "model")
+    trained = Config(enc_units=256, dec_units=512, mode="loc", ctc=True,
+                     unit="char")
+    path = save_config_snapshot(trained, save_dir)
+    assert json.load(open(path))["enc_units"] == 256
+
+    # same model flags -> clean; non-model flags (lr, beam) never flag
+    assert check_model_config(
+        trained.replace(lr=9.0, beam_size=64), save_dir) == []
+    # model-shape drift is reported field by field
+    bad = trained.replace(enc_units=128, ctc=False)
+    lines = check_model_config(bad, save_dir)
+    assert len(lines) == 2
+    assert any("enc_units" in l and "128" in l and "256" in l for l in lines)
+    assert any("ctc" in l for l in lines)
+    # no snapshot (pre-feature checkpoint dirs) -> silently clean
+    assert check_model_config(bad, str(tmp_path / "nope")) == []
+
+
 def test_parse_args_reference_flags():
     cfg = parse_args(["--unit", "char", "--feat_dim", "13", "-bs", "96",
                       "--mode", "loc", "--scheduled_sampling", "False",

@@ -27,7 +27,8 @@ honor_platform_env()  # must run before the jax backend is frozen
 import jax
 import numpy as np
 
-from automatic_speech_recognition_tpu.config import parse_args
+from automatic_speech_recognition_tpu.config import (
+    parse_args, save_config_snapshot)
 from automatic_speech_recognition_tpu.data.pipeline import (
     BucketedLoader, DevicePrefetcher)
 from automatic_speech_recognition_tpu.parallel.mesh import make_mesh
@@ -89,6 +90,10 @@ def main(argv=None):
 
     ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     ckpt = CheckpointManager(cfg.save_dir, max_to_keep=cfg.max_to_keep)
+    if jax.process_index() == 0:
+        # self-describing model dir: eval drivers validate their model
+        # flags against this snapshot (config.check_model_config)
+        save_config_snapshot(cfg, cfg.save_dir)
     start_epoch = 0
     restored = ckpt.restore(ts, epoch=cfg.restore_epoch)
     if restored is not None:
