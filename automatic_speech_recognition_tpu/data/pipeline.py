@@ -53,9 +53,18 @@ class BucketedLoader:
 
     def __init__(self, shard_files: Sequence[str], cfg: Config,
                  is_training: bool = True, seed: int = 0,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 part_index: int = 0, part_count: int = 1):
         if not shard_files:
             raise ValueError("no shard files given")
+        if not 0 <= part_index < part_count:
+            raise ValueError(f"part_index {part_index} outside "
+                             f"[0, {part_count})")
+        if part_count > 1 and not is_training:
+            # eval flushes ragged partial batches that cannot be split
+            # evenly across processes; eval drivers are single-process
+            raise ValueError("multi-process partitioning is train-only")
+        self.part_index, self.part_count = part_index, part_count
         self.files = list(shard_files)
         self.cfg = cfg
         self.is_training = is_training
@@ -144,13 +153,34 @@ class BucketedLoader:
 
     def _assemble(self, items, pad_frames: int) -> Batch:
         """Materialize one padded batch.  Native path: one memcpy per record
-        straight from the shard mmap into the batch buffers."""
+        straight from the shard mmap into the batch buffers.
+
+        Multi-process (part_count > 1): every process streams the SAME
+        deterministic sequence of global batches (identical seed =>
+        identical shard/record order => identical bucket fills), so jit
+        shape keys and collective schedules agree across hosts — but each
+        process memcpy-assembles only its own contiguous row slice
+        [part_index*B/P, (part_index+1)*B/P) of each global batch.  The
+        token pad width is computed over the FULL item list first so all
+        processes agree on the static decoder width.  Feeding goes
+        through jax.make_array_from_process_local_data
+        (trainer.make_mesh_train_step), which stitches the slices into
+        one global device array along the 'data' mesh axis."""
+        tok_width = self._token_pad(items)
+        if self.part_count > 1:
+            if len(items) % self.part_count:
+                raise ValueError(
+                    f"global batch {len(items)} not divisible by "
+                    f"part_count {self.part_count}")
+            rows = len(items) // self.part_count
+            items = items[self.part_index * rows:
+                          (self.part_index + 1) * rows]
         B = len(items)
         r0 = items[0][0]
         D, C = r0.feat_dim, r0.channels
         audio = np.zeros((B, pad_frames, D, C), np.float32)
         audiolen = np.zeros((B,), np.int32)
-        toks = np.zeros((B, self._token_pad(items)), np.int32)
+        toks = np.zeros((B, tok_width), np.int32)
         toklen = np.zeros((B,), np.int32)
         if self.native:
             for row, (r, i, _) in enumerate(items):

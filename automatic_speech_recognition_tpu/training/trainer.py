@@ -14,6 +14,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import Config
@@ -171,9 +172,26 @@ def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config):
     jitted = jax.jit(step_fn, in_shardings=(state_sh, batch_sh),
                      out_shardings=(state_sh, None),
                      donate_argnums=(0,))
-    sharded_ts = jax.tree_util.tree_map(jax.device_put, ts, state_sh)
+    if jax.process_count() > 1:
+        # Multi-host: the state is identical on every process (same init
+        # seed / same restored checkpoint), so each process materializes
+        # its addressable shards from its local copy; batches arrive as
+        # per-process row slices (BucketedLoader part_index/part_count)
+        # and are stitched into global arrays along the 'data' axis.
+        sharded_ts = jax.tree_util.tree_map(
+            lambda x, s: jax.make_array_from_callback(
+                np.shape(x), s, lambda idx, _x=x: np.asarray(_x)[idx]),
+            ts, state_sh)
 
-    def shard_batch(b):
-        return jax.tree_util.tree_map(jax.device_put, tuple(b), batch_sh)
+        def shard_batch(b):
+            return tuple(
+                jax.make_array_from_process_local_data(s, np.asarray(x))
+                for s, x in zip(batch_sh, b))
+    else:
+        sharded_ts = jax.tree_util.tree_map(jax.device_put, ts, state_sh)
+
+        def shard_batch(b):
+            return jax.tree_util.tree_map(jax.device_put, tuple(b),
+                                          batch_sh)
 
     return jitted, sharded_ts, shard_batch

@@ -61,7 +61,25 @@ def main(argv=None):
     files = sorted(glob.glob(pattern))
     if not files:
         raise FileNotFoundError(f"no training shards match {pattern}")
-    loader = BucketedLoader(files, cfg, is_training=True, seed=cfg.seed)
+    nproc = jax.process_count()
+    if nproc > 1:
+        # multi-host input: identical global batch sequence everywhere
+        # (same seed), per-process row-slice assembly (data/pipeline.py)
+        if cfg.steps_per_dispatch > 1:
+            raise ValueError(
+                "--steps_per_dispatch > 1 is a single-host dispatch "
+                "amortization (tunnel platforms); use 1 on TPU pods where "
+                "the state never leaves the devices")
+        if cfg.num_partitions > 1 and (
+                jax.local_device_count() % cfg.num_partitions):
+            raise ValueError(
+                f"num_partitions {cfg.num_partitions} must divide the "
+                f"local device count ({jax.local_device_count()}) so each "
+                "model-parallel group stays within one process and "
+                "checkpoint saves see fully-addressable params")
+    loader = BucketedLoader(files, cfg, is_training=True, seed=cfg.seed,
+                            part_index=jax.process_index(),
+                            part_count=nproc)
     log.info("training records: %d in %d shards", loader.num_records,
              len(files))
 
@@ -170,12 +188,17 @@ def main(argv=None):
         # with single-step mode; reference logs per step, train.py:114-126)
         return len(group), jax.tree_util.tree_map(lambda x: x[-1], metrics)
 
+    # multi-host: one writer; every process computes, process 0 persists
+    # (params/opt state are replicated across processes by construction)
+    primary = jax.process_index() == 0
+
     for batch in batches:
         if stop_requested:
             epoch = max(1, global_step // steps_per_epoch + 1)
-            ckpt.save(epoch, jax.device_get(ts))
-            log.info("preemption checkpoint saved at step %d (epoch slot %d)",
-                     global_step, epoch)
+            if primary:
+                ckpt.save(epoch, jax.device_get(ts))
+                log.info("preemption checkpoint saved at step %d "
+                         "(epoch slot %d)", global_step, epoch)
             break
         if global_step >= total_steps:
             break
@@ -218,7 +241,7 @@ def main(argv=None):
                 writer.image("train/features", feat_img, global_step)
                 log.info("HYP: %s", hyp[:120])
         # jump-safe: global_step advances by n_done at a time
-        if global_step % steps_per_epoch < n_done:
+        if global_step % steps_per_epoch < n_done and primary:
             epoch = global_step // steps_per_epoch
             with timers.stage("checkpoint"):
                 # non-blocking: orbax persists to disk while training goes on
@@ -231,7 +254,7 @@ def main(argv=None):
     if profiling:  # run ended before the stop step; close the trace
         jax.profiler.stop_trace()
         log.info("profiler trace (short run) written to %s", cfg.profile_dir)
-    if global_step % steps_per_epoch and not stop_requested:
+    if global_step % steps_per_epoch and not stop_requested and primary:
         ckpt.save(max(1, global_step // steps_per_epoch + 1),
                   jax.device_get(ts))
     ckpt.close()  # drain any in-flight async save before exit
