@@ -165,6 +165,10 @@ class Config:
     # beyond-reference: step score = (1-w)*logP_att + w*dPsi_ctc.  Needs a
     # --ctc-trained checkpoint and --beam_logprob True.  0 = off.
     ctc_beam_weight: float = 0.0
+    # eval/decode convenience: True = take the model-defining flags
+    # (MODEL_FIELDS) from save_dir/config.json instead of the command
+    # line, so an eval needs only --save_dir/--shard_dir/--split
+    use_saved_config: bool = False
     # test.py decoder: 'attention' = the reference's greedy argmax rollout
     # (las/las.py:306-318); 'ctc_greedy' = encoder-only CTC collapse
     # (decoding/ctc.py, needs a --ctc-trained checkpoint)
@@ -269,6 +273,30 @@ def save_config_snapshot(cfg: Config, save_dir: str) -> str:
     with open(path, "w") as f:
         f.write(cfg.to_json())
     return path
+
+
+def apply_saved_model_config(cfg: Config, save_dir: str):
+    """Replace cfg's MODEL_FIELDS with the training snapshot's values.
+
+    Backs --use_saved_config: eval/decode runs need only point at the
+    model directory; architecture flags come from config.json.  Returns
+    (new_cfg, overridden) where overridden lists "field: cli -> saved"
+    for every field that actually changed.  Raises FileNotFoundError
+    when the snapshot is absent (explicit opt-in deserves a hard error,
+    unlike the advisory check_model_config path).
+    """
+    path = os.path.join(save_dir, "config.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"--use_saved_config: no snapshot at {path} (the checkpoint "
+            "predates config snapshots; pass the model flags explicitly)")
+    with open(path) as f:
+        trained = Config.from_json(f.read())
+    overridden = [
+        f"{n}: {getattr(cfg, n)!r} -> {getattr(trained, n)!r}"
+        for n in MODEL_FIELDS if getattr(cfg, n) != getattr(trained, n)]
+    return cfg.replace(
+        **{n: getattr(trained, n) for n in MODEL_FIELDS}), overridden
 
 
 def check_model_config(cfg: Config, save_dir: str):

@@ -27,7 +27,7 @@ import jax
 import numpy as np
 
 from automatic_speech_recognition_tpu.config import (
-    check_model_config, parse_args)
+    apply_saved_model_config, check_model_config, parse_args)
 from automatic_speech_recognition_tpu.decoding import beam as beam_lib
 from automatic_speech_recognition_tpu.models import char_rnn
 from automatic_speech_recognition_tpu.training import trainer
@@ -62,6 +62,10 @@ def batch_iter(feats, tokens, batch, pad_quantum=128):
 
 def main(argv=None):
     cfg = parse_args(argv)
+    if cfg.use_saved_config:
+        cfg, overridden = apply_saved_model_config(cfg, cfg.save_dir)
+        for line in overridden:
+            log.info("model flag from training snapshot: %s", line)
     log.info("parameters:\n%s", cfg.to_json())
 
     tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)

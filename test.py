@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 from automatic_speech_recognition_tpu.config import (
-    check_model_config, parse_args)
+    apply_saved_model_config, check_model_config, parse_args)
 from automatic_speech_recognition_tpu.data.pipeline import BucketedLoader
 from automatic_speech_recognition_tpu.models import las
 from automatic_speech_recognition_tpu.training import trainer
@@ -39,6 +39,11 @@ def main(argv=None):
     logging.basicConfig(force=True, stream=sys.stdout, level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
     log = logging.getLogger("test")
+
+    if cfg.use_saved_config:
+        cfg, overridden = apply_saved_model_config(cfg, cfg.save_dir)
+        for line in overridden:
+            log.info("model flag from training snapshot: %s", line)
 
     if cfg.eval_decoder not in ("attention", "ctc_greedy"):
         raise ValueError(f"unknown --eval_decoder {cfg.eval_decoder!r} "

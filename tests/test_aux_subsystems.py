@@ -95,6 +95,18 @@ def test_config_snapshot_and_model_check(tmp_path):
     # no snapshot (pre-feature checkpoint dirs) -> silently clean
     assert check_model_config(bad, str(tmp_path / "nope")) == []
 
+    # --use_saved_config: model fields replaced, others kept, diff reported
+    from automatic_speech_recognition_tpu.config import (
+        apply_saved_model_config)
+    fixed, overridden = apply_saved_model_config(
+        bad.replace(lr=9.0, beam_size=64), save_dir)
+    assert fixed.enc_units == 256 and fixed.ctc is True
+    assert fixed.lr == 9.0 and fixed.beam_size == 64
+    assert check_model_config(fixed, save_dir) == []
+    assert any("enc_units" in l for l in overridden)
+    with pytest.raises(FileNotFoundError):
+        apply_saved_model_config(bad, str(tmp_path / "nope"))
+
 
 def test_parse_args_reference_flags():
     cfg = parse_args(["--unit", "char", "--feat_dim", "13", "-bs", "96",
