@@ -312,9 +312,17 @@ def check_model_config(cfg: Config, save_dir: str):
         return []
     with open(path) as f:
         trained = Config.from_json(f.read())
+    fields = MODEL_FIELDS
+    # vocab_size also shapes the checkpoint (embedding/output layers) but
+    # is resolved from the tokenizer at runtime: compare only when both
+    # sides have been resolved (train.py snapshots after resolution, so a
+    # mismatch here means the EVAL tokenizer differs — e.g. a different
+    # --subword_dir — which MODEL_FIELDS alone cannot see)
+    if cfg.vocab_size and trained.vocab_size:
+        fields = fields + ("vocab_size",)
     return [
         f"{name}: ours={getattr(cfg, name)!r}, trained={getattr(trained, name)!r}"
-        for name in MODEL_FIELDS
+        for name in fields
         if getattr(cfg, name) != getattr(trained, name)
     ]
 

@@ -34,8 +34,29 @@ for _name in ("orbax", "orbax.checkpoint", "absl"):
 _BAK_SUFFIX = ".replaced"
 
 
+def _primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _sync(tag: str) -> None:
+    """Global barrier in multi-host runs; no-op single-process.  The
+    backup-rename/rollback surgery below mutates the shared checkpoint
+    directory, so exactly one process performs it and every other waits
+    here before re-scanning (orbax's own save/restore entry points are
+    ALSO global collectives — which is why CheckpointManager methods must
+    be called from ALL processes, never gated to one)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"arsh_ckpt_{tag}")
+
+
 class CheckpointManager:
-    """Epoch-indexed TrainState checkpoints (reference: `las_E{epoch}`)."""
+    """Epoch-indexed TrainState checkpoints (reference: `las_E{epoch}`).
+
+    Multi-host: construct and call on EVERY process — orbax coordinates
+    the single writer internally and its save/restore contain global
+    barriers; the directory surgery this class adds (overwrite backups,
+    crash rollback) is primary-only between explicit barriers."""
 
     def __init__(self, directory: str, max_to_keep: int = 30):
         directory = os.path.abspath(directory)
@@ -51,6 +72,8 @@ class CheckpointManager:
         """Remove committed-over backups.  Only called right after a
         wait_until_finished(), i.e. when every issued save has durably
         committed, so the backups are no longer the last good copy."""
+        if not _primary():
+            return
         for p in glob.glob(os.path.join(self._dir, "*" + _BAK_SUFFIX)):
             shutil.rmtree(p, ignore_errors=True)
 
@@ -73,9 +96,11 @@ class CheckpointManager:
         self._mgr.wait_until_finished()  # drain a previous async save
         self._drop_backups()             # previous overwrites committed
         if epoch in self._mgr.all_steps():
-            bak = os.path.join(self._dir, f"{epoch}{_BAK_SUFFIX}")
-            shutil.rmtree(bak, ignore_errors=True)
-            os.rename(os.path.join(self._dir, str(epoch)), bak)
+            if _primary():
+                bak = os.path.join(self._dir, f"{epoch}{_BAK_SUFFIX}")
+                shutil.rmtree(bak, ignore_errors=True)
+                os.rename(os.path.join(self._dir, str(epoch)), bak)
+            _sync(f"overwrite_{epoch}")
             self._mgr.reload()  # re-scan: the step dir moved underneath
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
         if block:
@@ -91,13 +116,21 @@ class CheckpointManager:
         self._mgr.wait_until_finished()  # a just-issued async save counts
         # Roll back interrupted overwrites: a backup whose step is absent
         # from the committed set means the replacement never landed.
+        # Primary-only surgery: concurrent renames from several processes
+        # would race (the loser's rename raises or clobbers fresh state).
         rolled_back = False
-        for p in glob.glob(os.path.join(self._dir, "*" + _BAK_SUFFIX)):
-            s = os.path.basename(p)[: -len(_BAK_SUFFIX)]
-            if s.isdigit() and int(s) not in self._mgr.all_steps():
-                os.rename(p, os.path.join(self._dir, s))
-                rolled_back = True
-        if rolled_back:
+        if _primary():
+            for p in glob.glob(os.path.join(self._dir, "*" + _BAK_SUFFIX)):
+                s = os.path.basename(p)[: -len(_BAK_SUFFIX)]
+                if s.isdigit() and int(s) not in self._mgr.all_steps():
+                    os.rename(p, os.path.join(self._dir, s))
+                    rolled_back = True
+        if jax.process_count() > 1:
+            # unconditional: a non-primary cannot know whether primary is
+            # mid-rename, so everyone meets here then re-scans
+            _sync("rollback")
+            self._mgr.reload()
+        elif rolled_back:
             self._mgr.reload()
         step = self.latest_epoch() if epoch < 0 else epoch
         if step is None or step not in self._mgr.all_steps():

@@ -63,6 +63,23 @@ class SummaryWriter:
         self._f.close()
 
 
+class NullSummaryWriter:
+    """Drop-in no-op writer for non-primary processes in multi-host runs
+    (scalars are replicated, so N writers would only duplicate events)."""
+
+    def scalar(self, tag, value, step):
+        pass
+
+    def text(self, tag, text, step):
+        pass
+
+    def image(self, tag, array, step):
+        pass
+
+    def close(self):
+        pass
+
+
 class StageTimer:
     """Named wall-clock accumulators (utt/sec, steps/sec reporting)."""
 

@@ -63,6 +63,9 @@ def main(argv=None):
     loader = BucketedLoader(files, cfg, is_training=False)
     log.info("eval records: %d in %d shards", loader.num_records, len(files))
 
+    # vocab_size is resolved by now, so this also catches a wrong
+    # tokenizer even under --use_saved_config (which copies MODEL_FIELDS
+    # but cannot know which subword files the training run used)
     for line in check_model_config(cfg, cfg.save_dir):
         log.warning("model flag differs from the training snapshot "
                     "(%s/config.json) -- %s", cfg.save_dir, line)

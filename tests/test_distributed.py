@@ -97,6 +97,23 @@ for batch in [first, next(it)]:
     ts, m = step_fn(ts, g)
     losses.append(float(jax.device_get(m["loss"])))
 print("TRAINOK", jax.process_index(), " ".join(f"{l:.6f}" for l in losses))
+
+# Checkpointing is a global collective (orbax save/restore contain
+# cross-process barriers), so EVERY process must call it; the overwrite
+# path (backup rename on primary + explicit barriers) must not deadlock
+# either.  This is exactly the multi-host bug class a primary-only
+# ckpt.save would reintroduce.
+from automatic_speech_recognition_tpu.training.checkpoint import (
+    CheckpointManager)
+host_ts = jax.device_get(ts)   # params/opt state replicated -> addressable
+ckpt = CheckpointManager(sys.argv[2])
+ckpt.save(1, host_ts)
+ckpt.save(1, host_ts)          # overwrite: rename-aside + barrier path
+restored = ckpt.restore(host_ts, epoch=1)
+assert restored is not None
+assert int(restored.step) == int(host_ts.step)
+ckpt.close()
+print("CKPTOK", jax.process_index())
 """
 
 
@@ -133,12 +150,14 @@ def test_two_process_training_step_matches_single(tmp_path):
     for i in range(2):
         env = dict(base, JAX_PROCESS_ID=str(i))
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", TRAIN_WORKER, str(tmp_path)], env=env,
+            [sys.executable, "-c", TRAIN_WORKER, str(tmp_path),
+             str(tmp_path / "ckpt")], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = [p.communicate(timeout=600)[0] for p in procs]
     dist_losses = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert "CKPTOK" in out, out
         line = [l for l in out.splitlines() if l.startswith("TRAINOK")][0]
         dist_losses.append([float(x) for x in line.split()[2:]])
     assert dist_losses[0] == dist_losses[1], dist_losses

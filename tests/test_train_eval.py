@@ -144,10 +144,30 @@ def test_train_test_cli_roundtrip(tmp_path, rng):
             "--max_tokenlen_train", "12", "--max_tokenlen_eval", "12"]
     train_cli.main(args)
     assert os.path.exists(d + "/summary/events.jsonl")
+    # the model dir is self-describing (config snapshot written after
+    # restore-or-init)
+    assert os.path.exists(d + "/model/config.json")
     wer = test_cli.main(args + ["--split", "dev", "--convert_rate", "0.3"])
     assert np.isfinite(wer) and wer >= 0.0
     assert os.path.exists(d + "/log/test_pred.txt")
     assert os.path.exists(d + "/log/test_gt.txt")
+
+    # resuming with contradicting model flags must fail loudly BEFORE
+    # touching the snapshot (which would poison the dir's source of truth)
+    import json
+    with pytest.raises(ValueError, match="different model flags"):
+        train_cli.main(args + ["--enc_units", "32"])  # last flag wins
+    assert json.load(open(d + "/model/config.json"))["enc_units"] == 16
+
+    # --use_saved_config: eval with NO architecture flags on the CLI
+    wer2 = test_cli.main(
+        ["--use_saved_config", "True", "--save_dir", d + "/model",
+         "--shard_dir", d, "--log_dir", d + "/log",
+         "--summary_dir", d + "/summary",
+         "--bucket_boundaries_eval", "48,64", "--bucket_batch_sizes", "8,8",
+         "--max_tokenlen_eval", "12",
+         "--split", "dev", "--convert_rate", "0.3"])
+    assert wer2 == wer
 
 
 def test_short_token_padding_preserves_loss(rng):

@@ -28,7 +28,7 @@ import jax
 import numpy as np
 
 from automatic_speech_recognition_tpu.config import (
-    parse_args, save_config_snapshot)
+    check_model_config, parse_args, save_config_snapshot)
 from automatic_speech_recognition_tpu.data.pipeline import (
     BucketedLoader, DevicePrefetcher)
 from automatic_speech_recognition_tpu.parallel.mesh import make_mesh
@@ -106,12 +106,20 @@ def main(argv=None):
     log.info("mesh: %s over %d devices (%s)", dict(mesh.shape),
              mesh.size, jax.devices()[0].platform)
 
+    primary = jax.process_index() == 0
     ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     ckpt = CheckpointManager(cfg.save_dir, max_to_keep=cfg.max_to_keep)
-    if jax.process_index() == 0:
-        # self-describing model dir: eval drivers validate their model
-        # flags against this snapshot (config.check_model_config)
-        save_config_snapshot(cfg, cfg.save_dir)
+    # refuse to resume with model flags that contradict the directory's
+    # snapshot BEFORE touching it (a blind overwrite would poison the
+    # snapshot exactly when the user needs it to see their mistake)
+    if ckpt.latest_epoch() is not None:
+        mismatched = check_model_config(cfg, cfg.save_dir)
+        if mismatched:
+            raise ValueError(
+                f"{cfg.save_dir} holds checkpoints trained with different "
+                "model flags than this command line:\n  "
+                + "\n  ".join(mismatched)
+                + "\nfix the flags (or use a fresh --save_dir)")
     start_epoch = 0
     restored = ckpt.restore(ts, epoch=cfg.restore_epoch)
     if restored is not None:
@@ -120,7 +128,15 @@ def main(argv=None):
                        else ckpt.latest_epoch())
         log.info("restored epoch %d (global step %d)", start_epoch,
                  int(ts.step))
-    writer = summary_lib.SummaryWriter(cfg.summary_dir)
+    if primary:
+        # self-describing model dir: eval drivers validate their model
+        # flags against this snapshot (config.check_model_config).
+        # Written only after the restore-or-init above succeeded.
+        save_config_snapshot(cfg, cfg.save_dir)
+    # one summary writer across the job: non-primary processes log the
+    # same replicated scalars, so their writers would only duplicate
+    writer = (summary_lib.SummaryWriter(cfg.summary_dir) if primary
+              else summary_lib.NullSummaryWriter())
     timers = summary_lib.StageTimer()
 
     it = iter(loader)
@@ -141,11 +157,21 @@ def main(argv=None):
     t_last, s_last = time.perf_counter(), global_step
 
     # graceful preemption: SIGTERM/SIGINT save a checkpoint before exit
-    # (failure-recovery subsystem the reference lacks; SURVEY.md §5)
+    # (failure-recovery subsystem the reference lacks; SURVEY.md §5).
+    # stop_armed = raw signal state (this process); stop_requested = the
+    # GLOBAL decision every process acts on.  Multi-host, only the
+    # broadcast in sync_stop_flag promotes armed -> requested, so no
+    # process (primary included) can break out of the collective step
+    # loop before the others know.
+    stop_armed = []
     stop_requested = []
 
     def _on_signal(signum, frame):
-        stop_requested.append(signum)
+        if nproc > 1 and not primary:
+            # only primary's signal decides; others learn via broadcast
+            log.info("signal %d received; deferring to process 0", signum)
+            return
+        stop_armed.append(signum)
         log.info("signal %d received; will checkpoint and stop", signum)
 
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -188,15 +214,39 @@ def main(argv=None):
         # with single-step mode; reference logs per step, train.py:114-126)
         return len(group), jax.tree_util.tree_map(lambda x: x[-1], metrics)
 
-    # multi-host: one writer; every process computes, process 0 persists
-    # (params/opt state are replicated across processes by construction)
-    primary = jax.process_index() == 0
+    def sync_stop_flag():
+        """Promote this process's armed signal to the global stop
+        decision.  Single-host: immediate.  Multi-host: primary's state
+        is broadcast at the logging cadence (bounded extra steps before
+        the preemption checkpoint; per-step sync would serialize
+        dispatch), so every process flips in the same loop iteration."""
+        if nproc <= 1:
+            if stop_armed:
+                stop_requested.append(stop_armed[0])
+            return
+        from jax.experimental import multihost_utils
+        flag = int(multihost_utils.broadcast_one_to_all(
+            np.int32(1 if stop_armed else 0)))
+        if flag and not stop_requested:
+            stop_requested.append(signal.SIGTERM)
+
+    def host_metrics(metrics):
+        """device_get of the metrics dict.  Multi-host: array-valued
+        entries (sample_ids/sample_alphas) may be sharded across
+        non-addressable devices; only the replicated scalars are
+        fetchable everywhere."""
+        if nproc > 1:
+            metrics = {k: v for k, v in metrics.items()
+                       if getattr(v, "ndim", 1) == 0}
+        return jax.device_get(metrics)
 
     for batch in batches:
+        if nproc == 1:
+            sync_stop_flag()  # immediate single-host signal response
         if stop_requested:
             epoch = max(1, global_step // steps_per_epoch + 1)
-            if primary:
-                ckpt.save(epoch, jax.device_get(ts))
+            ckpt.save(epoch, jax.device_get(ts))  # all processes (orbax
+            if primary:                           # coordinates the write)
                 log.info("preemption checkpoint saved at step %d "
                          "(epoch slot %d)", global_step, epoch)
             break
@@ -216,21 +266,24 @@ def main(argv=None):
             profiling, profile_done = False, True
             log.info("profiler trace written to %s", cfg.profile_dir)
         if global_step % 10 < n_done or global_step <= n_done:
-            m = jax.device_get(metrics)
+            sync_stop_flag()
+            m = host_metrics(metrics)
             now = time.perf_counter()
             sps = (global_step - s_last) / max(now - t_last, 1e-9)
             t_last, s_last = now, global_step
-            log.info("step %d/%d loss %.4f lr %.2e tf %.2f gnorm %.2f "
-                     "att %.2f (%.2f steps/s)", global_step, total_steps,
-                     m["loss"], m["lr"], m["tf_rate"], m["grad_norm"],
-                     m["att_peak"], sps)
+            if primary:
+                log.info("step %d/%d loss %.4f lr %.2e tf %.2f gnorm %.2f "
+                         "att %.2f (%.2f steps/s)", global_step, total_steps,
+                         m["loss"], m["lr"], m["tf_rate"], m["grad_norm"],
+                         m["att_peak"], sps)
             writer.scalar("train/loss", m["loss"], global_step)
             writer.scalar("train/att_peak", m["att_peak"], global_step)
             writer.scalar("train/steps_per_sec", sps, global_step)
             if not np.isnan(m["lr"]):
                 writer.scalar("train/lr", m["lr"], global_step)
                 writer.scalar("train/tf_rate", m["tf_rate"], global_step)
-            if cfg.verbose and m.get("sample_ids") is not None:
+            if cfg.verbose and nproc == 1 \
+                    and m.get("sample_ids") is not None:
                 # HYP/REF pairs (reference: train.py:119-124)
                 hyp = convert_idx_to_string(m["sample_ids"],
                                             tokenizer.id_to_token, cfg.unit)
@@ -241,12 +294,13 @@ def main(argv=None):
                 writer.image("train/features", feat_img, global_step)
                 log.info("HYP: %s", hyp[:120])
         # jump-safe: global_step advances by n_done at a time
-        if global_step % steps_per_epoch < n_done and primary:
+        if global_step % steps_per_epoch < n_done:
             epoch = global_step // steps_per_epoch
             with timers.stage("checkpoint"):
                 # non-blocking: orbax persists to disk while training goes on
                 ckpt.save(epoch, jax.device_get(ts), block=False)
-            log.info("saved epoch %d -> %s", epoch, cfg.save_dir)
+            if primary:
+                log.info("saved epoch %d -> %s", epoch, cfg.save_dir)
 
     # release the worker thread and its staged device batches (the train
     # loader is infinite, so the loop above always abandons the stream)
@@ -254,7 +308,7 @@ def main(argv=None):
     if profiling:  # run ended before the stop step; close the trace
         jax.profiler.stop_trace()
         log.info("profiler trace (short run) written to %s", cfg.profile_dir)
-    if global_step % steps_per_epoch and not stop_requested and primary:
+    if global_step % steps_per_epoch and not stop_requested:
         ckpt.save(max(1, global_step // steps_per_epoch + 1),
                   jax.device_get(ts))
     ckpt.close()  # drain any in-flight async save before exit
