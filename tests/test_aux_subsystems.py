@@ -198,6 +198,47 @@ def test_synth_corpus_lexicon_is_complete():
             assert word in sc.LEXICON, word
 
 
+def test_pseudo_word_lexicon():
+    """--pseudo_words: deterministic, unique, phonotactically valid
+    pseudo-words with systematic A-Z spellings; after installation the
+    sentence grammar draws them Zipf-weighted and every emitted word
+    stays pronounceable (the high-entropy corpus mode behind the
+    capacity-vs-entropy study in benchmarks/WER_SYNTH.md)."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "synth_corpus_pw", os.path.join(os.path.dirname(__file__),
+                                        os.pardir, "tools",
+                                        "synth_corpus.py"))
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+    from automatic_speech_recognition_tpu.utils.formant_synth import PHONES
+
+    lex = sc.make_pseudo_lexicon(300, seed=7)
+    assert len(lex) == 300
+    assert lex == sc.make_pseudo_lexicon(300, seed=7)       # deterministic
+    assert lex != sc.make_pseudo_lexicon(300, seed=8)       # seed matters
+    for w, pron in lex.items():
+        assert w.isalpha() and w.isupper() and len(w) <= 14, w
+        assert w not in sc._HAND_WORDS                      # no homographs
+        for ph in pron.split():
+            assert ph in PHONES, (w, ph)
+
+    installed = sc.install_pseudo_lexicon(300, seed=7)
+    assert installed == lex                  # install doesn't reshuffle
+    # generation must stay deterministic after LEXICON grew (dedupe is
+    # against the frozen hand lexicon, not the live dict)
+    assert sc.make_pseudo_lexicon(300, seed=7) == lex
+    rng = np.random.default_rng(0)
+    seen = set()
+    for _ in range(300):
+        for word in sc.make_sentence(rng).split():
+            assert word in sc.LEXICON, word
+            seen.add(word)
+    # content slots actually draw pseudo-words, with a Zipf tail: far
+    # more types than the ~60 the hand pools would yield here
+    assert len(seen & set(lex)) > 150, len(seen & set(lex))
+
+
 def test_sinc_resampler_exact_ratio_and_live_tail():
     """Sample-rate ratios within den<=1000 resolve exactly (11025/16000 =
     441/640) and the output tail is interpolated, not zero-filled."""

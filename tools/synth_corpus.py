@@ -199,11 +199,114 @@ NUMS = ["ONE", "TWO", "THREE", "FOUR", "FIVE", "SIX", "SEVEN", "EIGHT",
         "NINE", "TEN"]
 
 
+# ---------------------------------------------------------------------------
+# High-entropy pseudo-word lexicon (--pseudo_words N)
+#
+# The hand-checked lexicon above tops out at ~320 distinct words, which
+# bounds corpus entropy: benchmarks/WER_SYNTH.md shows the published-size
+# LAS never enters its attention transition on that corpus while small
+# models solve it.  To test capacity-vs-entropy directly we generate N
+# phonotactically valid pseudo-words — syllables of (onset)(vowel)(coda)
+# drawn from English-legal clusters — each with a DETERMINISTIC spelling
+# from a fixed phone->grapheme table, so the grapheme<->phone mapping
+# stays character-level learnable (like real orthography, minus the
+# exceptions).  Content-word slots (noun/verb/adj) then sample these
+# pseudo-words with a Zipf distribution; function words stay real.
+# ---------------------------------------------------------------------------
+
+# phone -> spelling (uppercase A-Z only; injective within each class)
+_PSEUDO_VOWELS = [
+    ("IY", "EE"), ("IH", "I"), ("EH", "E"), ("AE", "A"), ("AA", "O"),
+    ("AO", "AU"), ("UH", "OO"), ("UW", "U"), ("AH", "UH"), ("ER", "UR"),
+    ("EY", "AI"), ("AY", "IE"), ("OY", "OI"), ("AW", "OU"), ("OW", "OA"),
+]
+_PSEUDO_CONS = {
+    "P": "P", "B": "B", "T": "T", "D": "D", "K": "K", "G": "G",
+    "M": "M", "N": "N", "NG": "NG", "F": "F", "V": "V", "S": "S",
+    "Z": "Z", "SH": "SH", "CH": "CH", "JH": "J", "TH": "TH", "HH": "H",
+    "L": "L", "R": "R", "W": "W", "Y": "Y",
+}
+_ONSETS = ([c for c in _PSEUDO_CONS if c != "NG"]  # NG is coda-only
+           + ["S T", "S P", "S K", "S L", "S N", "S M", "P L", "P R",
+              "B L", "B R", "T R", "D R", "K L", "K R", "G L", "G R",
+              "F L", "F R", "TH R", "SH R"])
+_CODAS = ([c for c in _PSEUDO_CONS if c not in ("HH", "W", "Y")]
+          + ["N T", "N D", "S T", "K S", "L T", "N S", "M P", "NG K",
+             "L D", "R D", "F T", "R N"])
+
+
+# dedupe against the HAND lexicon only (frozen at import): checking the
+# live LEXICON would make generation depend on prior install_ calls
+_HAND_WORDS = frozenset(LEXICON)
+
+
+def _pseudo_syllable(rng, coda_p):
+    onset = _ONSETS[int(rng.integers(len(_ONSETS)))]
+    vowel, vspell = _PSEUDO_VOWELS[int(rng.integers(len(_PSEUDO_VOWELS)))]
+    phones, spell = onset.split() + [vowel], \
+        "".join(_PSEUDO_CONS[c] for c in onset.split()) + vspell
+    if rng.random() < coda_p:
+        coda = _CODAS[int(rng.integers(len(_CODAS)))]
+        phones += coda.split()
+        spell += "".join(_PSEUDO_CONS[c] for c in coda.split())
+    return phones, spell
+
+
+def make_pseudo_lexicon(n: int, seed: int = 12345) -> dict:
+    """N unique pseudo-words (spelling -> phone string), deterministic in
+    `seed` and independent of the corpus seed so every split shares one
+    lexicon."""
+    rng = np.random.default_rng(seed)
+    lex = {}
+    while len(lex) < n:
+        syls = int(rng.choice([1, 2, 3], p=[0.35, 0.45, 0.2]))
+        phones, spell = [], ""
+        for i in range(syls):
+            # final syllables close freely; inner ones rarely (clusters
+            # across syllable joins get awkward)
+            ph, sp = _pseudo_syllable(rng, 0.55 if i == syls - 1 else 0.2)
+            phones += ph
+            spell += sp
+        if spell in lex or spell in _HAND_WORDS or len(spell) > 14:
+            continue
+        lex[spell] = " ".join(phones)
+    return lex
+
+
+def install_pseudo_lexicon(n: int, seed: int = 12345) -> dict:
+    """Extend LEXICON with `n` pseudo-words and repoint the content-word
+    pools at them with Zipf(1) weights (rank r gets p ~ 1/(r+2.7)).
+    Returns the pseudo lexicon for persistence."""
+    global NOUNS, VERBS, ADJS
+    lex = make_pseudo_lexicon(n, seed)
+    LEXICON.update(lex)
+    words = list(lex)
+    rng = np.random.default_rng(seed + 1)
+    rng.shuffle(words)  # Zipf rank must not correlate with generation order
+    # 60/25/15 split across the grammar's content roles
+    n_n, n_v = int(0.6 * n), int(0.25 * n)
+    pools = [words[:n_n], words[n_n:n_n + n_v], words[n_n + n_v:]]
+    weighted = []
+    for pool in pools:
+        p = 1.0 / (np.arange(len(pool)) + 2.7)
+        weighted.append((np.array(pool), p / p.sum()))
+    NOUNS, VERBS, ADJS = weighted
+    return lex
+
+
+def _pick(rng, pool):
+    """Uniform over a plain list; weighted over a (words, probs) pair."""
+    if isinstance(pool, tuple):
+        words, p = pool
+        return str(words[int(rng.choice(len(words), p=p))])
+    return rng.choice(pool)
+
+
 def make_sentence(rng: np.random.Generator) -> str:
     """One uppercase transcript line from template grammar."""
-    n = lambda: rng.choice(NOUNS)
-    v = lambda: rng.choice(VERBS)
-    a = lambda: rng.choice(ADJS)
+    n = lambda: _pick(rng, NOUNS)
+    v = lambda: _pick(rng, VERBS)
+    a = lambda: _pick(rng, ADJS)
     p = lambda: rng.choice(PREPS)
     pr = lambda: rng.choice(PRONOUNS)
     adv = lambda: rng.choice(ADVS)
@@ -286,7 +389,23 @@ def main(argv=None):
     ap.add_argument("--train_speakers", type=int, default=32)
     ap.add_argument("--eval_speakers", type=int, default=6)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pseudo_words", type=int, default=0,
+                    help="extend the lexicon with N phonotactic pseudo-"
+                         "words and Zipf-sample content slots from them "
+                         "(high-entropy corpus; 0 = hand lexicon only)")
+    ap.add_argument("--pseudo_seed", type=int, default=12345,
+                    help="pseudo-lexicon seed, independent of --seed so "
+                         "all splits share one lexicon")
     args = ap.parse_args(argv)
+
+    if args.pseudo_words:
+        lex = install_pseudo_lexicon(args.pseudo_words, args.pseudo_seed)
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "lexicon.txt"), "w") as f:
+            for w in sorted(lex):
+                f.write(f"{w} {lex[w]}\n")
+        print(f"pseudo lexicon: {len(lex)} words "
+              f"(seed {args.pseudo_seed}) -> {args.out}/lexicon.txt")
 
     rng = np.random.default_rng(args.seed)
     mk = lambda base, k: [(base + i, fsyn.Speaker.sample(rng))
