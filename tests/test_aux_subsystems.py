@@ -223,6 +223,11 @@ def test_pseudo_word_lexicon():
         for ph in pron.split():
             assert ph in PHONES, (w, ph)
 
+    # n < 7 would leave a 60/25/15 content pool empty: must fail BEFORE
+    # any corpus files are written, not mid-generation
+    with pytest.raises(ValueError, match="pseudo_words"):
+        sc.install_pseudo_lexicon(3, seed=7)
+
     installed = sc.install_pseudo_lexicon(300, seed=7)
     assert installed == lex                  # install doesn't reshuffle
     # generation must stay deterministic after LEXICON grew (dedupe is

@@ -159,6 +159,21 @@ def test_train_test_cli_roundtrip(tmp_path, rng):
         train_cli.main(args + ["--enc_units", "32"])  # last flag wins
     assert json.load(open(d + "/model/config.json"))["enc_units"] == 16
 
+    # the guard keys on config.json ALONE: a dir holding only a snapshot
+    # (no committed epoch — e.g. after a crash left just an N.replaced
+    # backup that restore() would roll back) must refuse contradicting
+    # flags just as loudly
+    import shutil
+    shutil.copytree(d + "/model", d + "/model2")
+    for entry in os.listdir(d + "/model2"):
+        if entry != "config.json":
+            p = os.path.join(d + "/model2", entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    with pytest.raises(ValueError, match="different model flags"):
+        train_cli.main(
+            [a if a != d + "/model" else d + "/model2" for a in args]
+            + ["--enc_units", "32"])
+
     # --use_saved_config: eval with NO architecture flags on the CLI
     wer2 = test_cli.main(
         ["--use_saved_config", "True", "--save_dir", d + "/model",

@@ -74,21 +74,26 @@ if run_stage train_s; then
     --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 28
 fi
 
+# eval pulls model flags from each arm's config.json snapshot
+# (--use_saved_config; incl. --ctc) — no hand-copied arch blocks to keep
+# in sync. --scan_unroll is a perf flag outside the snapshot, so it is
+# repeated explicitly.
+eval_common="--use_saved_config True --scan_unroll 4
+  --convert_rate 0.25 --report_cer True"
+
 if run_stage eval_f; then
   echo "=== flagship greedy WER trajectory (dev) ==="
   for e in 4 8 12 16; do
-    python3 test.py $common $flagship --save_dir $work/model_f \
-      --split dev --convert_rate 0.25 --report_cer True \
-      --restore_epoch $e | tail -2
+    python3 test.py $common $eval_common --save_dir $work/model_f \
+      --split dev --restore_epoch $e | tail -2
   done
 fi
 
 if run_stage eval_s; then
   echo "=== control greedy WER trajectory (dev) ==="
   for e in 8 16 22 28; do
-    python3 test.py $common $control --save_dir $work/model_s \
-      --split dev --convert_rate 0.25 --report_cer True \
-      --restore_epoch $e | tail -2
+    python3 test.py $common $eval_common --save_dir $work/model_s \
+      --split dev --restore_epoch $e | tail -2
   done
 fi
 
@@ -96,12 +101,10 @@ if run_stage final; then
   # set BEST_F / BEST_S from the trajectories above
   for split in dev test; do
     echo "=== flagship greedy $split @ E${BEST_F:-16} ==="
-    python3 test.py $common $flagship --save_dir $work/model_f \
-      --split $split --convert_rate 0.25 --report_cer True \
-      --restore_epoch ${BEST_F:-16} | tail -2
+    python3 test.py $common $eval_common --save_dir $work/model_f \
+      --split $split --restore_epoch ${BEST_F:-16} | tail -2
     echo "=== control greedy $split @ E${BEST_S:-28} ==="
-    python3 test.py $common $control --save_dir $work/model_s \
-      --split $split --convert_rate 0.25 --report_cer True \
-      --restore_epoch ${BEST_S:-28} | tail -2
+    python3 test.py $common $eval_common --save_dir $work/model_s \
+      --split $split --restore_epoch ${BEST_S:-28} | tail -2
   done
 fi

@@ -278,6 +278,13 @@ def install_pseudo_lexicon(n: int, seed: int = 12345) -> dict:
     pools at them with Zipf(1) weights (rank r gets p ~ 1/(r+2.7)).
     Returns the pseudo lexicon for persistence."""
     global NOUNS, VERBS, ADJS
+    if n < 7:
+        # 60/25/15 int() split needs >=7 words for every pool to be
+        # non-empty; fail BEFORE any corpus files are written (rng.choice
+        # over an empty pool would crash mid-generation otherwise)
+        raise ValueError(
+            f"--pseudo_words must be >= 7 (got {n}): the 60/25/15 "
+            "noun/verb/adj split would leave a content-word pool empty")
     lex = make_pseudo_lexicon(n, seed)
     LEXICON.update(lex)
     words = list(lex)

@@ -111,15 +111,18 @@ def main(argv=None):
     ckpt = CheckpointManager(cfg.save_dir, max_to_keep=cfg.max_to_keep)
     # refuse to resume with model flags that contradict the directory's
     # snapshot BEFORE touching it (a blind overwrite would poison the
-    # snapshot exactly when the user needs it to see their mistake)
-    if ckpt.latest_epoch() is not None:
-        mismatched = check_model_config(cfg, cfg.save_dir)
-        if mismatched:
-            raise ValueError(
-                f"{cfg.save_dir} holds checkpoints trained with different "
-                "model flags than this command line:\n  "
-                + "\n  ".join(mismatched)
-                + "\nfix the flags (or use a fresh --save_dir)")
+    # snapshot exactly when the user needs it to see their mistake).
+    # Keyed on config.json alone — NOT latest_epoch() — because restore()
+    # can also roll back a crashed-overwrite backup (N.replaced) that
+    # all_steps() doesn't see; check_model_config returns [] when the
+    # snapshot is absent.
+    mismatched = check_model_config(cfg, cfg.save_dir)
+    if mismatched:
+        raise ValueError(
+            f"{cfg.save_dir} holds checkpoints trained with different "
+            "model flags than this command line:\n  "
+            + "\n  ".join(mismatched)
+            + "\nfix the flags (or use a fresh --save_dir)")
     start_epoch = 0
     restored = ckpt.restore(ts, epoch=cfg.restore_epoch)
     if restored is not None:
@@ -160,17 +163,14 @@ def main(argv=None):
     # (failure-recovery subsystem the reference lacks; SURVEY.md §5).
     # stop_armed = raw signal state (this process); stop_requested = the
     # GLOBAL decision every process acts on.  Multi-host, only the
-    # broadcast in sync_stop_flag promotes armed -> requested, so no
-    # process (primary included) can break out of the collective step
-    # loop before the others know.
+    # any-process reduction in sync_stop_flag promotes armed ->
+    # requested, so no process can break out of the collective step loop
+    # before the others know — and a signal delivered to ANY host (e.g.
+    # single-VM maintenance) stops the whole job.
     stop_armed = []
     stop_requested = []
 
     def _on_signal(signum, frame):
-        if nproc > 1 and not primary:
-            # only primary's signal decides; others learn via broadcast
-            log.info("signal %d received; deferring to process 0", signum)
-            return
         stop_armed.append(signum)
         log.info("signal %d received; will checkpoint and stop", signum)
 
@@ -215,19 +215,20 @@ def main(argv=None):
         return len(group), jax.tree_util.tree_map(lambda x: x[-1], metrics)
 
     def sync_stop_flag():
-        """Promote this process's armed signal to the global stop
-        decision.  Single-host: immediate.  Multi-host: primary's state
-        is broadcast at the logging cadence (bounded extra steps before
-        the preemption checkpoint; per-step sync would serialize
-        dispatch), so every process flips in the same loop iteration."""
+        """Promote ANY process's armed signal to the global stop
+        decision.  Single-host: immediate.  Multi-host: an any-reduction
+        (allgather+max) across processes at the logging cadence (bounded
+        extra steps before the preemption checkpoint; per-step sync
+        would serialize dispatch), so every process flips in the same
+        loop iteration even when the signal landed on one host only."""
         if nproc <= 1:
             if stop_armed:
                 stop_requested.append(stop_armed[0])
             return
         from jax.experimental import multihost_utils
-        flag = int(multihost_utils.broadcast_one_to_all(
-            np.int32(1 if stop_armed else 0)))
-        if flag and not stop_requested:
+        flags = multihost_utils.process_allgather(
+            np.int32(1 if stop_armed else 0))
+        if int(np.max(flags)) and not stop_requested:
             stop_requested.append(signal.SIGTERM)
 
     def host_metrics(metrics):
