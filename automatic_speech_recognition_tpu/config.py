@@ -161,6 +161,12 @@ class Config:
     # (beam_search.py:297-312); >=0 = GNMT ((5+len)/6)^alpha (0 disables
     # normalization; fractional alpha damps early-EOS selection)
     beam_len_penalty: float = -1.0
+    # GNMT coverage penalty (Wu et al. 2016 eq. 14), beyond-reference:
+    # final score += beta * sum_j log(min(sum_t alpha_tj, 1)) over real
+    # frames — hypotheses that retire with unattended audio (early-EOS
+    # truncations, insertion loops stuck on one region) are penalized.
+    # 0 = off (reference behavior); intended with --beam_logprob True.
+    beam_coverage_penalty: float = 0.0
     # joint CTC/attention one-pass decoding (Watanabe et al. 2017),
     # beyond-reference: step score = (1-w)*logP_att + w*dPsi_ctc.  Needs a
     # --ctc-trained checkpoint and --beam_logprob True.  0 = off.

@@ -37,6 +37,14 @@ logprob scoring): per-step score = (1-w) * logP_att + w * dPsi, where
 dPsi is the CTC prefix-probability increment from decoding/ctc_prefix.py
 (Watanabe et al. 2017).  The LM term, when enabled, stays inside the
 attention logits exactly as the reference applies it.
+
+Beyond-reference: GNMT coverage penalty (cfg.beam_coverage_penalty
+beta > 0; Wu et al. 2016 eq. 14): every hypothesis' final ranking score
+gains beta * sum_j log(min(sum_t alpha_tj, 1)) over real encoder frames,
+so hypotheses that retire with unattended audio — early-EOS truncations
+and insertion loops parked on one region, the two documented beam
+failure modes on well-trained models (benchmarks/WER_SYNTH.md) — rank
+below hypotheses that consumed the whole utterance.
 """
 
 from __future__ import annotations
@@ -107,6 +115,18 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
     K, V = beam_size, cfg.vocab_size
     T, H = enc_out.shape
     use_ctc = ctc_logp is not None and cfg.ctc_beam_weight > 0
+    use_cov = cfg.beam_coverage_penalty > 0
+    if use_cov:
+        cov_beta = float(cfg.beam_coverage_penalty)
+        real_frames = jnp.arange(T) < enc_len  # (T,)
+
+        def coverage_penalty(cum_align):
+            """GNMT eq. 14 over real frames: beta * sum_j log(min(c_j, 1)).
+            Masked-softmax alphas are strictly positive on real frames, so
+            the log is finite; the 1e-8 floor only guards bf16 underflow."""
+            cov = jnp.log(jnp.clip(cum_align, 1e-8, 1.0))
+            return cov_beta * jnp.sum(
+                jnp.where(real_frames[None, :], cov, 0.0), axis=-1)
     if use_ctc:
         ctc_w = float(cfg.ctc_beam_weight)
         ctc_x = ctc_prefix.masked_logp(ctc_logp.astype(jnp.float32),
@@ -134,6 +154,7 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         lm_states: Any
         ctc_r: Any                 # (K, T, 2) CTC forward vars, or ()
         ctc_psi: Any               # (K,) CTC prefix scores, or ()
+        cum_align: Any             # (K, T) summed alphas for coverage, or ()
 
     # decoder activations ride the configured compute dtype; scores
     # (cum/bank) always accumulate float32
@@ -156,6 +177,7 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         ctc_r=(jnp.broadcast_to(ctc_prefix.init_state(ctc_x), (K, T, 2))
                if use_ctc else ()),
         ctc_psi=(jnp.zeros((K,), jnp.float32) if use_ctc else ()),
+        cum_align=(jnp.zeros((K, T), jnp.float32) if use_cov else ()),
     )
 
     def cond(c: Carry):
@@ -202,6 +224,14 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         real = scores > NEG * 0.5
         eos = (tok == EOS_ID) & real
         norm = scores / _length_div(cfg, c.t + 1)
+        if use_cov:
+            # each child's attention history = parent's history + the
+            # alignment the parent just consumed producing this token
+            new_cum_align = (c.cum_align[parent]
+                             + alphas[parent].astype(jnp.float32))
+            norm = norm + coverage_penalty(new_cum_align)
+        else:
+            new_cum_align = c.cum_align
 
         # merge newly finished hypotheses into the bank, keep best K
         cat_scores = jnp.concatenate([c.bank_score,
@@ -226,6 +256,7 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
                        if use_lm else c.lm_states),
             ctc_r=(ctc_r_all[parent, tok] if use_ctc else c.ctc_r),
             ctc_psi=(ctc_psi_all[parent, tok] if use_ctc else c.ctc_psi),
+            cum_align=new_cum_align,
         )
 
     c = jax.lax.while_loop(cond, body, init)
@@ -233,9 +264,10 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
     # step budget exhausted -> still-active beams join the bank
     # (las/beam_search.py:155-156)
     exhausted = (c.t >= dec_step) & c.valid
-    live_norm = jnp.where(exhausted,
-                          c.cum / _length_div(cfg, jnp.maximum(c.t, 1)),
-                          NEG)
+    live_score = c.cum / _length_div(cfg, jnp.maximum(c.t, 1))
+    if use_cov:
+        live_score = live_score + coverage_penalty(c.cum_align)
+    live_norm = jnp.where(exhausted, live_score, NEG)
     cat_scores = jnp.concatenate([c.bank_score, live_norm])
     cat_tokens = jnp.concatenate([c.bank_tokens, c.tokens])
     cat_len = jnp.concatenate([c.bank_len,

@@ -27,16 +27,26 @@ CFG = Config(unit="char", vocab_size=12, feat_dim=8, enc_type="cnn",
 def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
                         beam_size, lm_params=None, lm_cfg=None,
                         lm_weight=0.5, logprob=False,
-                        len_div=lambda L: L):
-    """Reference algorithm, host loop (las/beam_search.py:61-158)."""
+                        len_div=lambda L: L, cov_beta=0.0):
+    """Reference algorithm, host loop (las/beam_search.py:61-158).
+    cov_beta > 0 adds the GNMT coverage penalty to the FINAL ranking of
+    retired hypotheses only (per-step selection stays on raw scores,
+    matching the device search)."""
     K, V = beam_size, cfg.vocab_size
     T = enc_out.shape[0]
     beams = [dict(ids=[1], logp=0.0, align=np.zeros(T, np.float32),
+                  cum=np.zeros(T, np.float32),
                   state=np.zeros((cfg.num_dec_layers, cfg.dec_units),
                                  np.float32),
                   lm_state=(char_rnn.zero_state(lm_cfg, 1)
                             if lm_params is not None else None))
              for _ in range(K)]
+
+    def cov_penalty(b):
+        if cov_beta == 0.0:
+            return 0.0
+        cov = np.log(np.clip(b["cum"][:int(enc_len)], 1e-8, 1.0))
+        return cov_beta * float(np.sum(cov))
     finished = []
     t = 0
     while t < dec_step and len(finished) < K:
@@ -72,6 +82,7 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
                 item = dict(ids=b["ids"] + [int(j)],
                             logp=b["logp"] + float(logits[i][j]),
                             align=alphas[i],
+                            cum=b["cum"] + alphas[i],
                             state=new_states[:, i])
                 if lm_params is not None:
                     item["lm_state"] = jax.tree_util.tree_map(
@@ -90,7 +101,8 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
         t += 1
     if t == dec_step:
         finished.extend(beams)
-    norm = [b["logp"] / len_div(len(b["ids"]) - 1) for b in finished]
+    norm = [b["logp"] / len_div(len(b["ids"]) - 1) + cov_penalty(b)
+            for b in finished]
     best = finished[int(np.argsort(norm)[-1])]
     return best["ids"][1:], max(norm)
 
@@ -280,6 +292,38 @@ def test_gnmt_length_penalty_matches_host_reference(alpha):
         assert list(got) == ids, (alpha, b, list(got), ids)
         np.testing.assert_allclose(float(res.scores[b, 0]), score,
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("beta", [0.05, 0.5])
+def test_coverage_penalty_matches_host_reference(beta):
+    """--beam_coverage_penalty beta > 0 adds the GNMT coverage term
+    beta * sum_j log(min(sum_t alpha_tj, 1)) over real frames to every
+    retired hypothesis's ranking score; per-step selection is untouched.
+    Verified against the host algorithm with the same term."""
+    params, bn_state, audio, audiolen = _setup(seed=5)
+    cfg = CFG.replace(beam_coverage_penalty=beta)
+    max_steps, K = 8, 4
+    res = beam_lib.beam_search(params, bn_state, audio, audiolen, cfg,
+                               max_steps=max_steps, beam_size=K,
+                               logprob=True)
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn_state["listener"], audio, audiolen, cfg,
+        is_training=False)
+    for b in range(audio.shape[0]):
+        dec_step = min(max(int(audiolen[b] * cfg.convert_rate), 1), max_steps)
+        ids, score = host_reference_beam(
+            params["speller"], cfg, enc_out[b], enc_len[b], dec_step, K,
+            logprob=True, cov_beta=beta)
+        got = np.asarray(res.tokens[b, 0])[:int(res.lengths[b, 0])]
+        assert list(got) == ids, (beta, b, list(got), ids)
+        np.testing.assert_allclose(float(res.scores[b, 0]), score,
+                                   rtol=1e-4, atol=1e-5)
+        # the penalty is a sum of logs of probabilities-capped-at-1: <= 0,
+        # so the cp-included score can only be below the cp-free one
+        _, score0 = host_reference_beam(
+            params["speller"], cfg, enc_out[b], enc_len[b], dec_step, K,
+            logprob=True)
+        assert score <= score0 + 1e-6
 
 
 def test_joint_ctc_score_decomposes():
