@@ -166,7 +166,18 @@ class Config:
     # frames — hypotheses that retire with unattended audio (early-EOS
     # truncations, insertion loops stuck on one region) are penalized.
     # 0 = off (reference behavior); intended with --beam_logprob True.
+    # NOTE: measured on char ASR this formulation REWARDS insertion loops
+    # (decode steps << encoder frames, so loops accumulate more coverage
+    # than correct hypotheses — benchmarks/WER_SYNTH.md); prefer the
+    # count-based beam_coverage_reward below.
     beam_coverage_penalty: float = 0.0
+    # Count-based coverage reward (Chorowski & Jaitly 2017 sec. 4):
+    # final score += beta * |{real frames j : sum_t alpha_tj > tau}|.
+    # Bounded per frame, so loops gain nothing after crossing tau on
+    # their parked region while truncations forfeit the uncovered tail.
+    # 0 = off; intended with --beam_logprob True.
+    beam_coverage_reward: float = 0.0
+    beam_coverage_tau: float = 0.5
     # joint CTC/attention one-pass decoding (Watanabe et al. 2017),
     # beyond-reference: step score = (1-w)*logP_att + w*dPsi_ctc.  Needs a
     # --ctc-trained checkpoint and --beam_logprob True.  0 = off.

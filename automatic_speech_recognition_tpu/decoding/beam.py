@@ -38,13 +38,20 @@ dPsi is the CTC prefix-probability increment from decoding/ctc_prefix.py
 (Watanabe et al. 2017).  The LM term, when enabled, stays inside the
 attention logits exactly as the reference applies it.
 
-Beyond-reference: GNMT coverage penalty (cfg.beam_coverage_penalty
-beta > 0; Wu et al. 2016 eq. 14): every hypothesis' final ranking score
-gains beta * sum_j log(min(sum_t alpha_tj, 1)) over real encoder frames,
-so hypotheses that retire with unattended audio — early-EOS truncations
-and insertion loops parked on one region, the two documented beam
-failure modes on well-trained models (benchmarks/WER_SYNTH.md) — rank
-below hypotheses that consumed the whole utterance.
+Beyond-reference: attention-coverage scoring of retired hypotheses,
+two formulations (both target the documented beam failure modes —
+early-EOS truncations and insertion loops, benchmarks/WER_SYNTH.md):
+
+- GNMT penalty (cfg.beam_coverage_penalty beta > 0; Wu et al. 2016
+  eq. 14): score += beta * sum_j log(min(sum_t alpha_tj, 1)) over real
+  frames.  Measured on char ASR this backfires: decode steps are far
+  fewer than encoder frames, so insertion loops accumulate MORE
+  coverage than correct hypotheses (see WER_SYNTH.md).
+- Chorowski count reward (cfg.beam_coverage_reward beta > 0, threshold
+  cfg.beam_coverage_tau; Chorowski & Jaitly 2017 sec. 4):
+  score += beta * |{real frames j : sum_t alpha_tj > tau}|.  Bounded
+  per frame — loops gain nothing after crossing tau on their parked
+  region, truncations forfeit the uncovered tail.
 """
 
 from __future__ import annotations
@@ -115,18 +122,30 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
     K, V = beam_size, cfg.vocab_size
     T, H = enc_out.shape
     use_ctc = ctc_logp is not None and cfg.ctc_beam_weight > 0
-    use_cov = cfg.beam_coverage_penalty > 0
+    use_cov = (cfg.beam_coverage_penalty > 0
+               or cfg.beam_coverage_reward > 0)
     if use_cov:
         cov_beta = float(cfg.beam_coverage_penalty)
+        cov_reward = float(cfg.beam_coverage_reward)
+        cov_tau = float(cfg.beam_coverage_tau)
         real_frames = jnp.arange(T) < enc_len  # (T,)
 
         def coverage_penalty(cum_align):
-            """GNMT eq. 14 over real frames: beta * sum_j log(min(c_j, 1)).
-            Masked-softmax alphas are strictly positive on real frames, so
-            the log is finite; the 1e-8 floor only guards bf16 underflow."""
-            cov = jnp.log(jnp.clip(cum_align, 1e-8, 1.0))
-            return cov_beta * jnp.sum(
-                jnp.where(real_frames[None, :], cov, 0.0), axis=-1)
+            """Coverage terms over real frames.  GNMT eq. 14
+            (beta * sum_j log(min(c_j, 1)); masked-softmax alphas are
+            strictly positive on real frames, so the log is finite — the
+            1e-8 floor only guards bf16 underflow) and/or the
+            Chorowski count reward (beta * |{j : c_j > tau}|)."""
+            out = jnp.zeros(cum_align.shape[:-1], jnp.float32)
+            if cov_beta > 0:
+                cov = jnp.log(jnp.clip(cum_align, 1e-8, 1.0))
+                out = out + cov_beta * jnp.sum(
+                    jnp.where(real_frames[None, :], cov, 0.0), axis=-1)
+            if cov_reward > 0:
+                hit = real_frames[None, :] & (cum_align > cov_tau)
+                out = out + cov_reward * jnp.sum(
+                    hit.astype(jnp.float32), axis=-1)
+            return out
     if use_ctc:
         ctc_w = float(cfg.ctc_beam_weight)
         ctc_x = ctc_prefix.masked_logp(ctc_logp.astype(jnp.float32),

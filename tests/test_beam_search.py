@@ -27,11 +27,13 @@ CFG = Config(unit="char", vocab_size=12, feat_dim=8, enc_type="cnn",
 def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
                         beam_size, lm_params=None, lm_cfg=None,
                         lm_weight=0.5, logprob=False,
-                        len_div=lambda L: L, cov_beta=0.0):
+                        len_div=lambda L: L, cov_beta=0.0,
+                        cov_reward=0.0, cov_tau=0.5):
     """Reference algorithm, host loop (las/beam_search.py:61-158).
-    cov_beta > 0 adds the GNMT coverage penalty to the FINAL ranking of
-    retired hypotheses only (per-step selection stays on raw scores,
-    matching the device search)."""
+    cov_beta > 0 adds the GNMT coverage penalty, cov_reward > 0 the
+    Chorowski count reward, to the FINAL ranking of retired hypotheses
+    only (per-step selection stays on raw scores, matching the device
+    search)."""
     K, V = beam_size, cfg.vocab_size
     T = enc_out.shape[0]
     beams = [dict(ids=[1], logp=0.0, align=np.zeros(T, np.float32),
@@ -43,10 +45,14 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
              for _ in range(K)]
 
     def cov_penalty(b):
-        if cov_beta == 0.0:
-            return 0.0
-        cov = np.log(np.clip(b["cum"][:int(enc_len)], 1e-8, 1.0))
-        return cov_beta * float(np.sum(cov))
+        out = 0.0
+        if cov_beta > 0.0:
+            cov = np.log(np.clip(b["cum"][:int(enc_len)], 1e-8, 1.0))
+            out += cov_beta * float(np.sum(cov))
+        if cov_reward > 0.0:
+            out += cov_reward * float(
+                np.sum(b["cum"][:int(enc_len)] > cov_tau))
+        return out
     finished = []
     t = 0
     while t < dec_step and len(finished) < K:
@@ -294,14 +300,17 @@ def test_gnmt_length_penalty_matches_host_reference(alpha):
                                    rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("beta", [0.05, 0.5])
-def test_coverage_penalty_matches_host_reference(beta):
-    """--beam_coverage_penalty beta > 0 adds the GNMT coverage term
-    beta * sum_j log(min(sum_t alpha_tj, 1)) over real frames to every
-    retired hypothesis's ranking score; per-step selection is untouched.
-    Verified against the host algorithm with the same term."""
+@pytest.mark.parametrize("beta,reward", [(0.05, 0.0), (0.5, 0.0),
+                                         (0.0, 0.2), (0.1, 0.1)])
+def test_coverage_scoring_matches_host_reference(beta, reward):
+    """--beam_coverage_penalty (GNMT log-sum) and --beam_coverage_reward
+    (Chorowski count, threshold --beam_coverage_tau) add their coverage
+    terms to every retired hypothesis's ranking score; per-step selection
+    is untouched.  Verified against the host algorithm with the same
+    terms, separately and combined."""
     params, bn_state, audio, audiolen = _setup(seed=5)
-    cfg = CFG.replace(beam_coverage_penalty=beta)
+    cfg = CFG.replace(beam_coverage_penalty=beta,
+                      beam_coverage_reward=reward, beam_coverage_tau=0.4)
     max_steps, K = 8, 4
     res = beam_lib.beam_search(params, bn_state, audio, audiolen, cfg,
                                max_steps=max_steps, beam_size=K,
@@ -313,17 +322,19 @@ def test_coverage_penalty_matches_host_reference(beta):
         dec_step = min(max(int(audiolen[b] * cfg.convert_rate), 1), max_steps)
         ids, score = host_reference_beam(
             params["speller"], cfg, enc_out[b], enc_len[b], dec_step, K,
-            logprob=True, cov_beta=beta)
+            logprob=True, cov_beta=beta, cov_reward=reward, cov_tau=0.4)
         got = np.asarray(res.tokens[b, 0])[:int(res.lengths[b, 0])]
-        assert list(got) == ids, (beta, b, list(got), ids)
+        assert list(got) == ids, (beta, reward, b, list(got), ids)
         np.testing.assert_allclose(float(res.scores[b, 0]), score,
                                    rtol=1e-4, atol=1e-5)
-        # the penalty is a sum of logs of probabilities-capped-at-1: <= 0,
-        # so the cp-included score can only be below the cp-free one
-        _, score0 = host_reference_beam(
-            params["speller"], cfg, enc_out[b], enc_len[b], dec_step, K,
-            logprob=True)
-        assert score <= score0 + 1e-6
+        if reward == 0.0:
+            # the penalty is a sum of logs of probabilities-capped-at-1:
+            # <= 0, so the cp-included winner can only score below the
+            # cp-free winner
+            _, score0 = host_reference_beam(
+                params["speller"], cfg, enc_out[b], enc_len[b], dec_step,
+                K, logprob=True)
+            assert score <= score0 + 1e-6
 
 
 def test_joint_ctc_score_decomposes():
