@@ -45,3 +45,45 @@ def test_recognizer_missing_checkpoint(tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
         Recognizer.from_checkpoint(str(tmp_path / "nope"), CFG)
+
+
+def test_transcribe_cli(tmp_path, rng):
+    """transcribe.py end to end: dir + glob expansion, saved-config merge,
+    tab-separated output file, order preservation."""
+    import transcribe as transcribe_cli
+
+    cfg = CFG.replace(vocab_size=30)
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    mdir = str(tmp_path / "model")
+    CheckpointManager(mdir).save(1, jax.device_get(ts))
+    # training-config snapshot so --use_saved_config provides the arch
+    with open(os.path.join(mdir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    adir = tmp_path / "audio"
+    adir.mkdir()
+    paths = []
+    for i, sec in enumerate((0.5, 1.0)):
+        p = str(adir / f"u{i}.wav")
+        write_wav(p, rng.standard_normal(int(16000 * sec)) * 0.1, 16000)
+        paths.append(p)
+
+    out = str(tmp_path / "hyp.tsv")
+    texts = transcribe_cli.main([
+        str(adir), "--save_dir", mdir, "--use_saved_config", "True",
+        "--convert_rate", "0.05", "--output", out,
+        "--transcribe_batch", "2"])
+    assert len(texts) == 2
+    with open(out) as f:
+        lines = f.read().splitlines()
+    assert [l.split("\t")[0] for l in lines] == paths
+
+    # glob form + beam decoding agree with the API on the same files
+    texts_glob = transcribe_cli.main([
+        str(adir / "*.wav"), "--save_dir", mdir, "--use_saved_config",
+        "True", "--convert_rate", "0.05", "--beam_size", "3"])
+    assert len(texts_glob) == 2
+
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        transcribe_cli.expand_paths([str(adir / "*.mp3")])
