@@ -178,6 +178,13 @@ class Config:
     # 0 = off; intended with --beam_logprob True.
     beam_coverage_reward: float = 0.0
     beam_coverage_tau: float = 0.5
+    # EOS end-detection margin (Chorowski & Jaitly 2017 sec. 4): an EOS
+    # expansion is only admitted when score(EOS) >= best non-EOS score
+    # minus this margin, stopping cheap early-EOS retirements the length
+    # normalization would otherwise favor.  Negative = off (reference
+    # behavior); 0 = EOS must be the argmax; intended with
+    # --beam_logprob True (the margin is a log-prob ratio then).
+    beam_eos_margin: float = -1.0
     # joint CTC/attention one-pass decoding (Watanabe et al. 2017),
     # beyond-reference: step score = (1-w)*logP_att + w*dPsi_ctc.  Needs a
     # --ctc-trained checkpoint and --beam_logprob True.  0 = off.

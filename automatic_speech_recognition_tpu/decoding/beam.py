@@ -52,6 +52,11 @@ early-EOS truncations and insertion loops, benchmarks/WER_SYNTH.md):
   score += beta * |{real frames j : sum_t alpha_tj > tau}|.  Bounded
   per frame — loops gain nothing after crossing tau on their parked
   region, truncations forfeit the uncovered tail.
+
+Beyond-reference: EOS end detection (cfg.beam_eos_margin >= 0, same
+paper): an EOS expansion is admitted only when its per-step score is
+within the margin of the best non-EOS token's, blocking the cheap early
+retirements that length normalization otherwise promotes.
 """
 
 from __future__ import annotations
@@ -222,6 +227,16 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
             psi_delta, ctc_r_all, ctc_psi_all = ctc_prefix.step(
                 ctc_x, c.ctc_r, c.ctc_psi, last_ids, c.t == 0)
             step_scores = (1.0 - ctc_w) * step_scores + ctc_w * psi_delta
+        if cfg.beam_eos_margin >= 0:
+            # end detection (Chorowski & Jaitly 2017 sec. 4): EOS may only
+            # expand when it scores within the margin of the best other
+            # token, blocking cheap early retirements
+            best_other = jnp.max(
+                step_scores.at[:, EOS_ID].set(NEG), axis=-1)
+            eos_ok = (step_scores[:, EOS_ID]
+                      >= best_other - cfg.beam_eos_margin)
+            step_scores = step_scores.at[:, EOS_ID].set(
+                jnp.where(eos_ok, step_scores[:, EOS_ID], NEG))
         if K > TOP_EXPANSIONS:
             # only then can pruning change the global top-K selection
             step_scores = prune_expansions(step_scores, TOP_EXPANSIONS)

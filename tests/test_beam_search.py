@@ -28,7 +28,7 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
                         beam_size, lm_params=None, lm_cfg=None,
                         lm_weight=0.5, logprob=False,
                         len_div=lambda L: L, cov_beta=0.0,
-                        cov_reward=0.0, cov_tau=0.5):
+                        cov_reward=0.0, cov_tau=0.5, eos_margin=None):
     """Reference algorithm, host loop (las/beam_search.py:61-158).
     cov_beta > 0 adds the GNMT coverage penalty, cov_reward > 0 the
     Chorowski count reward, to the FINAL ranking of retired hypotheses
@@ -83,6 +83,11 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
             top = np.argsort(logits[i])[-64:]
             for j in top:
                 if t > 0 and j == 1:
+                    continue
+                if (eos_margin is not None and j == 2
+                        and logits[i][2] < max(
+                            v for k, v in enumerate(logits[i])
+                            if k != 2) - eos_margin):
                     continue
                 b = beams[i]
                 item = dict(ids=b["ids"] + [int(j)],
@@ -335,6 +340,31 @@ def test_coverage_scoring_matches_host_reference(beta, reward):
                 params["speller"], cfg, enc_out[b], enc_len[b], dec_step,
                 K, logprob=True)
             assert score <= score0 + 1e-6
+
+
+@pytest.mark.parametrize("margin", [0.0, 1.5])
+def test_eos_margin_matches_host_reference(margin):
+    """--beam_eos_margin m >= 0: an EOS expansion is admitted only when
+    score(EOS) >= best non-EOS score - m.  Verified against the host
+    algorithm with the same admission rule."""
+    params, bn_state, audio, audiolen = _setup(seed=7)
+    cfg = CFG.replace(beam_eos_margin=margin)
+    max_steps, K = 8, 4
+    res = beam_lib.beam_search(params, bn_state, audio, audiolen, cfg,
+                               max_steps=max_steps, beam_size=K,
+                               logprob=True)
+    enc_out, enc_len, _ = las.listener_apply(
+        params["listener"], bn_state["listener"], audio, audiolen, cfg,
+        is_training=False)
+    for b in range(audio.shape[0]):
+        dec_step = min(max(int(audiolen[b] * cfg.convert_rate), 1), max_steps)
+        ids, score = host_reference_beam(
+            params["speller"], cfg, enc_out[b], enc_len[b], dec_step, K,
+            logprob=True, eos_margin=margin)
+        got = np.asarray(res.tokens[b, 0])[:int(res.lengths[b, 0])]
+        assert list(got) == ids, (margin, b, list(got), ids)
+        np.testing.assert_allclose(float(res.scores[b, 0]), score,
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_joint_ctc_score_decomposes():
