@@ -307,3 +307,47 @@ def test_device_prefetcher_close_and_reiterate():
     with DevicePrefetcher(itertools.count(), lambda x: x, depth=2) as pf3:
         assert next(pf3) == 0
     assert not pf3._t.is_alive()
+
+
+def test_study_report_run_splitting_and_metrics(tmp_path):
+    """tools/study_report.py: splits appended runs at step restarts,
+    finds the sustained att transition (ignoring one-sample blips),
+    summarizes loss/throughput."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import study_report
+
+    events = []
+
+    def scalar(tag, step, value):
+        events.append({"kind": "scalar", "tag": tag, "step": step,
+                       "value": value, "ts": 0.0})
+
+    # run 0: att blips over 0.5 once at step 3, transitions for real at 6
+    for step, (loss, att) in enumerate(
+            [(9, .1), (8, .2), (7, .1), (6, .8), (5, .2), (4, .1),
+             (3, .7), (2, .75), (1, .8), (1, .82)]):
+        scalar("train/loss", step, loss)
+        scalar("train/att_peak", step, att)
+        scalar("train/steps_per_sec", step, 10.0)
+    # run 1 (appended re-launch): step restarts, never transitions
+    for step in range(4):
+        scalar("train/loss", step, 5.0)
+        scalar("train/att_peak", step, 0.1)
+    d = tmp_path / "summary"
+    d.mkdir()
+    with open(d / "events.jsonl", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+        f.write('{"kind": "text", "tag": "train/sample", "step": 0, '
+                '"value": "HYP", "ts": 0.0}\n')  # non-scalar rows skipped
+
+    reports = study_report.main([str(d)])
+    assert len(reports) == 2
+    r0, r1 = reports
+    assert r0["att_transition_step"] == 6
+    assert r0["final_att_peak"] == pytest.approx(0.75, abs=0.1)
+    assert r0["final_loss"] == pytest.approx(2.0, abs=1.1)
+    assert r0["median_steps_per_sec"] == 10.0
+    assert r1["att_transition_step"] is None
+    assert r1["first_step"] == 0 and r1["last_step"] == 3
