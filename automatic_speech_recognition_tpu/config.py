@@ -245,6 +245,12 @@ class Config:
     # non-empty: capture a jax.profiler trace of training steps 10-20
     # into this directory (tracing subsystem; reference has none)
     profile_dir: str = ""
+    # > 0: hard-abort training (exit code 17) when no dispatch completes
+    # for this many seconds — a dead device tunnel otherwise wedges the
+    # host INSIDE a device call forever (utils/watchdog.py).  Size it
+    # above the first dispatch's compile time on remote-compiled
+    # platforms (recommend >= 900 there).  0 = off.
+    stall_timeout_s: int = 0
     seed: int = 0
     vocab_size: int = 0                   # filled from tokenizer at runtime
     steps_per_epoch: int = 0              # 0 = derive from dataset size

@@ -351,3 +351,39 @@ def test_study_report_run_splitting_and_metrics(tmp_path):
     assert r0["median_steps_per_sec"] == 10.0
     assert r1["att_transition_step"] is None
     assert r1["first_step"] == 0 and r1["last_step"] == 3
+
+
+def test_stall_watchdog_fires_and_pets():
+    """utils/watchdog.StallWatchdog: petting keeps it quiet, a stall
+    fires on_stall once with the stalled duration, stop() disarms."""
+    import threading
+    import time
+
+    from automatic_speech_recognition_tpu.utils.watchdog import (
+        STALL_EXIT_CODE, StallWatchdog)
+
+    assert STALL_EXIT_CODE == 17
+    fired = threading.Event()
+    seen = []
+
+    wd = StallWatchdog(timeout_s=0.3, what="test progress",
+                       on_stall=lambda s: (seen.append(s), fired.set()),
+                       poll_s=0.05)
+    wd.start()
+    for _ in range(4):  # pet past several timeout windows: must stay quiet
+        time.sleep(0.15)
+        wd.pet()
+    assert not fired.is_set()
+    assert fired.wait(2.0)  # stop petting: fires
+    assert seen and seen[0] > 0.3
+    wd.stop()
+
+    # stop() before the timeout disarms for good
+    fired2 = threading.Event()
+    wd2 = StallWatchdog(timeout_s=0.2, on_stall=lambda s: fired2.set(),
+                        poll_s=0.05).start()
+    wd2.stop()
+    assert not fired2.wait(0.5)
+
+    with pytest.raises(ValueError):
+        StallWatchdog(timeout_s=0)

@@ -138,6 +138,7 @@ def test_train_test_cli_roundtrip(tmp_path, rng):
             "--shard_dir", d, "--save_dir", d + "/model",
             "--log_dir", d + "/log", "--summary_dir", d + "/summary",
             "--epoch", "1", "--steps_per_epoch", "4",
+            "--stall_timeout_s", "300",  # arms the dispatch watchdog path
             "--bucket_boundaries_train", "48,64",
             "--bucket_boundaries_eval", "48,64",
             "--bucket_batch_sizes", "8,8",

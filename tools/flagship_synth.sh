@@ -55,7 +55,7 @@ if run_stage train; then
   # full trajectory (the reference's keep-30 would prune epochs < 35)
   python3 train.py $common $model --epoch 64 --lr 1e-3 \
     --lr_decay_start 2000 --lr_decay_step 2000 --lr_decay_rate 0.5 \
-    --dtype bfloat16 --steps_per_dispatch 16 --max_to_keep 64
+    --dtype bfloat16 --steps_per_dispatch 16 --stall_timeout_s 900 --max_to_keep 64
 fi
 
 if run_stage eval; then

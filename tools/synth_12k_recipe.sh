@@ -55,7 +55,7 @@ if run_stage train; then
   python3 train.py $common $model --ctc True --ctc_weight 0.2 \
     --epoch 28 --steps_per_epoch 750 \
     --lr 1e-3 --lr_decay_start 9000 --lr_decay_step 3000 \
-    --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 16 \
+    --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 16 --stall_timeout_s 900 \
     --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 28
 fi
 

@@ -38,6 +38,7 @@ from automatic_speech_recognition_tpu.training import trainer
 from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
 from automatic_speech_recognition_tpu.utils import summary as summary_lib
 from automatic_speech_recognition_tpu.utils.text import convert_idx_to_string
+from automatic_speech_recognition_tpu.utils.watchdog import StallWatchdog
 from automatic_speech_recognition_tpu.utils.tokenizer import get_tokenizer
 
 
@@ -241,6 +242,12 @@ def main(argv=None):
                        if getattr(v, "ndim", 1) == 0}
         return jax.device_get(metrics)
 
+    # failure detection: a dead tunnel wedges the host inside a device
+    # call forever; the watchdog thread hard-aborts so a supervisor can
+    # restart from the last epoch checkpoint (exit code 17)
+    watchdog = (StallWatchdog(cfg.stall_timeout_s,
+                              what="training dispatch").start()
+                if cfg.stall_timeout_s > 0 else None)
     for batch in batches:
         if nproc == 1:
             sync_stop_flag()  # immediate single-host signal response
@@ -259,6 +266,8 @@ def main(argv=None):
             profiling = True
         with timers.stage("train_step"):
             n_done, metrics = dispatch(batch, total_steps - global_step)
+        if watchdog is not None:
+            watchdog.pet()
         if n_done == 0:
             continue
         global_step += n_done
@@ -305,6 +314,8 @@ def main(argv=None):
 
     # release the worker thread and its staged device batches (the train
     # loader is infinite, so the loop above always abandons the stream)
+    if watchdog is not None:
+        watchdog.stop()  # checkpoint drain below may legitimately be slow
     batches.close()
     if profiling:  # run ended before the stop step; close the trace
         jax.profiler.stop_trace()
