@@ -62,6 +62,7 @@ retirements that length normalization otherwise promotes.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -72,6 +73,8 @@ from ..models import char_rnn, las
 from ..ops import attention as att
 from ..ops import layers as L
 from . import ctc_prefix
+
+log = logging.getLogger("beam")
 
 NEG = -1.0e30
 SOS_ID = 1
@@ -230,9 +233,13 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         if cfg.beam_eos_margin >= 0:
             # end detection (Chorowski & Jaitly 2017 sec. 4): EOS may only
             # expand when it scores within the margin of the best other
-            # token, blocking cheap early retirements
+            # token, blocking cheap early retirements.  "Other" excludes
+            # SOS: it is never a training target, so its unconstrained
+            # logit would be a phantom competitor able to block EOS while
+            # being inadmissible as an expansion itself (t > 0).
             best_other = jnp.max(
-                step_scores.at[:, EOS_ID].set(NEG), axis=-1)
+                step_scores.at[:, EOS_ID].set(NEG).at[:, SOS_ID].set(NEG),
+                axis=-1)
             eos_ok = (step_scores[:, EOS_ID]
                       >= best_other - cfg.beam_eos_margin)
             step_scores = step_scores.at[:, EOS_ID].set(
@@ -322,6 +329,15 @@ def beam_search(params, bn_state, audio, audiolen, cfg: Config,
     max_steps: static bound (convert_rate * padded frames); per utterance
     the true budget is convert_rate * audiolen (las/beam_search.py:78).
     """
+    if ((cfg.beam_coverage_penalty > 0 or cfg.beam_coverage_reward > 0)
+            and not logprob):
+        # mathematically fine (adds a log-domain term to the logit-sum
+        # score) but the two scales aren't calibrated to each other.
+        # Lives here, not in the CLIs, so every beam entry point
+        # (decode.py, test.py, transcribe.py, api.Recognizer) warns;
+        # fires at trace time, i.e. once per compiled configuration.
+        log.warning("coverage scoring is tuned for log-prob scoring; "
+                    "consider --beam_logprob True")
     params, audio = las.compute_cast(cfg, params, audio)
     enc_out, enc_len, _ = las.listener_apply(
         params["listener"], bn_state["listener"], audio, audiolen, cfg,

@@ -87,6 +87,17 @@ class StallWatchdog:
     def pet(self) -> None:
         self._last = time.monotonic()
 
+    def extend(self, timeout_s: float, what: Optional[str] = None) -> None:
+        """Re-arm for a differently-paced phase (e.g. the shutdown drain:
+        prefetcher join + final blocking checkpoint), keeping protection
+        instead of disarming.  New timeout + fresh pet."""
+        if timeout_s <= 0:
+            raise ValueError(f"timeout_s must be > 0, got {timeout_s}")
+        self.timeout_s = float(timeout_s)
+        if what is not None:
+            self.what = what
+        self.pet()
+
     def stop(self) -> None:
         self._stop.set()
         if self._thread is not None:

@@ -83,12 +83,6 @@ def main(argv=None):
                 "--beam_logprob True")
         log.info("joint CTC/attention decoding, weight %.2f",
                  cfg.ctc_beam_weight)
-    if ((cfg.beam_coverage_penalty > 0 or cfg.beam_coverage_reward > 0)
-            and not cfg.beam_logprob):
-        # mathematically fine (adds a log-domain term to the logit-sum
-        # score) but the two scales aren't calibrated to each other
-        log.warning("coverage scoring is tuned for log-prob scoring; "
-                    "consider --beam_logprob True")
     if cfg.apply_lm:
         from sample_lm import load_lm
         lm_params, lm_cfg, _, _ = load_lm(cfg.lm_dir)

@@ -80,14 +80,20 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
         alphas = np.asarray(alphas)
         bank = []
         for i in range(n):
-            top = np.argsort(logits[i])[-64:]
+            row = logits[i].copy()
+            if (eos_margin is not None
+                    and row[2] < max(v for k, v in enumerate(row)
+                                     if k not in (1, 2)) - eos_margin):
+                # gate BEFORE the per-beam top-64 prune (a blocked EOS
+                # must not consume an expansion slot), and measure the
+                # margin against the best non-control token — SOS's
+                # unconstrained logit must not block EOS
+                row[2] = -1e30
+            top = np.argsort(row)[-64:]
             for j in top:
                 if t > 0 and j == 1:
                     continue
-                if (eos_margin is not None and j == 2
-                        and logits[i][2] < max(
-                            v for k, v in enumerate(logits[i])
-                            if k != 2) - eos_margin):
+                if row[j] <= -1e29:  # gate-blocked EOS
                     continue
                 b = beams[i]
                 item = dict(ids=b["ids"] + [int(j)],

@@ -138,7 +138,9 @@ def test_train_test_cli_roundtrip(tmp_path, rng):
             "--shard_dir", d, "--save_dir", d + "/model",
             "--log_dir", d + "/log", "--summary_dir", d + "/summary",
             "--epoch", "1", "--steps_per_epoch", "4",
-            "--stall_timeout_s", "300",  # arms the dispatch watchdog path
+            # arms the dispatch-watchdog wiring; huge timeout because the
+            # watchdog's os._exit(17) would kill the whole pytest process
+            "--stall_timeout_s", "86400",
             "--bucket_boundaries_train", "48,64",
             "--bucket_boundaries_eval", "48,64",
             "--bucket_batch_sizes", "8,8",

@@ -313,9 +313,13 @@ def main(argv=None):
                 log.info("saved epoch %d -> %s", epoch, cfg.save_dir)
 
     # release the worker thread and its staged device batches (the train
-    # loader is infinite, so the loop above always abandons the stream)
+    # loader is infinite, so the loop above always abandons the stream).
+    # The drain below (prefetcher join, final blocking save, ckpt.close)
+    # runs device work that can wedge on the same dead tunnel the
+    # watchdog exists for — re-arm with a generous budget, don't disarm.
     if watchdog is not None:
-        watchdog.stop()  # checkpoint drain below may legitimately be slow
+        watchdog.extend(max(watchdog.timeout_s, 600.0),
+                        what="shutdown drain")
     batches.close()
     if profiling:  # run ended before the stop step; close the trace
         jax.profiler.stop_trace()
@@ -324,6 +328,8 @@ def main(argv=None):
         ckpt.save(max(1, global_step // steps_per_epoch + 1),
                   jax.device_get(ts))
     ckpt.close()  # drain any in-flight async save before exit
+    if watchdog is not None:
+        watchdog.stop()
     log.info("done at step %d; timers: %s", global_step, timers.report())
     writer.close()
 

@@ -31,7 +31,9 @@ from automatic_speech_recognition_tpu.api import Recognizer
 from automatic_speech_recognition_tpu.config import (
     Config, apply_saved_model_config, build_parser)
 
-logging.basicConfig(force=True, stream=sys.stdout, level=logging.INFO,
+# stderr, NOT the other CLIs' stdout: this tool's data product
+# (path<TAB>text lines) goes to stdout by default and must stay clean
+logging.basicConfig(force=True, stream=sys.stderr, level=logging.INFO,
                     format="%(asctime)s [%(levelname)s] %(message)s")
 log = logging.getLogger("transcribe")
 
@@ -62,6 +64,10 @@ def expand_paths(patterns) -> list:
                 for r, _, fs in os.walk(pat) for f in fs
                 if f.lower().endswith(AUDIO_EXTS))
         elif os.path.exists(pat):
+            if not pat.lower().endswith(AUDIO_EXTS):
+                raise ValueError(
+                    f"{pat!r} exists but is not a supported audio file "
+                    f"(want one of {', '.join(AUDIO_EXTS)})")
             hits = [pat]
         else:
             hits = sorted(h for h in glob.glob(pat, recursive=True)
