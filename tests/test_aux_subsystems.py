@@ -387,3 +387,75 @@ def test_stall_watchdog_fires_and_pets():
 
     with pytest.raises(ValueError):
         StallWatchdog(timeout_s=0)
+
+
+def test_wer_ci_single_and_paired(tmp_path):
+    """tools/wer_ci.py: point estimate matches corpus_wer, CI covers it,
+    the paired test calls an obvious improvement significant and an
+    identical system not."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import wer_ci
+    from automatic_speech_recognition_tpu.utils.text import corpus_wer
+
+    rng = np.random.default_rng(0)
+    words = ["ALPHA", "BRAVO", "CHARLIE", "DELTA", "ECHO", "FOX"]
+    refs = [" ".join(rng.choice(words, 5)) for _ in range(60)]
+    # system A: one substitution in ~half the utterances
+    hyps_a = [r.split() for r in refs]
+    for i in range(0, 60, 2):
+        hyps_a[i][2] = "WRONG"
+    hyps_a = [" ".join(h) for h in hyps_a]
+
+    ref_f, a_f = str(tmp_path / "ref.txt"), str(tmp_path / "a.txt")
+    open(ref_f, "w").write("\n".join(refs) + "\n")
+    open(a_f, "w").write("\n".join(hyps_a) + "\n")
+
+    res = wer_ci.main(["--ref", ref_f, "--hyp", a_f,
+                       "--n_boot", "2000", "--json"])
+    assert res["wer_a"] == pytest.approx(corpus_wer(refs, hyps_a))
+    lo, hi = res["ci"]
+    assert lo <= res["wer_a"] <= hi and hi > lo
+    # deterministic under the same seed
+    res2 = wer_ci.main(["--ref", ref_f, "--hyp", a_f,
+                        "--n_boot", "2000", "--json"])
+    assert res2["ci"] == [lo, hi]
+
+    # paired vs the perfect system: significant, delta CI below zero
+    b_f = str(tmp_path / "b.txt")
+    open(b_f, "w").write("\n".join(refs) + "\n")
+    res = wer_ci.main(["--ref", ref_f, "--hyp", a_f, "--hyp2", b_f,
+                       "--n_boot", "2000", "--json"])
+    assert res["wer_b"] == 0.0
+    assert res["significant"] and res["delta_ci"][1] < 0
+    assert res["p_value"] < 0.05
+
+    # paired vs itself: delta exactly 0, never significant
+    res = wer_ci.main(["--ref", ref_f, "--hyp", a_f, "--hyp2", a_f,
+                       "--n_boot", "500", "--json"])
+    assert res["delta"] == 0.0 and not res["significant"]
+    assert res["p_value"] > 0.5
+
+    # line-count mismatch fails loudly
+    open(b_f, "w").write("\n".join(refs[:-1]) + "\n")
+    with pytest.raises(ValueError, match="line"):
+        wer_ci.main(["--ref", ref_f, "--hyp", a_f, "--hyp2", b_f,
+                     "--n_boot", "100", "--json"])
+
+
+def test_wer_ci_cer_mode(tmp_path):
+    """--cer switches to character tokenization (spaces count, matching
+    utils.text.corpus_cer)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import wer_ci
+    from automatic_speech_recognition_tpu.utils.text import corpus_cer
+
+    refs, hyps = ["AB CD", "EF GH"], ["AB CX", "EF GH"]
+    ref_f, hyp_f = str(tmp_path / "r.txt"), str(tmp_path / "h.txt")
+    open(ref_f, "w").write("\n".join(refs) + "\n")
+    open(hyp_f, "w").write("\n".join(hyps) + "\n")
+    res = wer_ci.main(["--ref", ref_f, "--hyp", hyp_f, "--cer",
+                       "--n_boot", "200", "--json"])
+    assert res["metric"] == "CER"
+    assert res["wer_a"] == pytest.approx(corpus_cer(refs, hyps))
