@@ -52,6 +52,13 @@ def setup_logging(verbose: int = 0):
 def main(argv=None):
     cfg = parse_args(argv)
     log = setup_logging(cfg.verbose)
+    # failure detection from the FIRST device touch: on a dead tunnel,
+    # backend init / restore / the first compile wedge exactly like a
+    # dispatch does (observed: a backend init blocked >10 min after an
+    # UNAVAILABLE outage), and a watchdog created only at the train loop
+    # cannot see it.  Re-armed with the same budget per dispatch below.
+    watchdog = (StallWatchdog(cfg.stall_timeout_s, what="startup").start()
+                if cfg.stall_timeout_s > 0 else None)
     maybe_initialize()  # multi-host TPU pods; no-op single process
 
     tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
@@ -242,12 +249,9 @@ def main(argv=None):
                        if getattr(v, "ndim", 1) == 0}
         return jax.device_get(metrics)
 
-    # failure detection: a dead tunnel wedges the host inside a device
-    # call forever; the watchdog thread hard-aborts so a supervisor can
-    # restart from the last epoch checkpoint (exit code 17)
-    watchdog = (StallWatchdog(cfg.stall_timeout_s,
-                              what="training dispatch").start()
-                if cfg.stall_timeout_s > 0 else None)
+    # startup survived; from here each dispatch must make the deadline
+    if watchdog is not None:
+        watchdog.extend(cfg.stall_timeout_s, what="training dispatch")
     for batch in batches:
         if nproc == 1:
             sync_stop_flag()  # immediate single-host signal response
