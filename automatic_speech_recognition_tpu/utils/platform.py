@@ -15,6 +15,58 @@ from __future__ import annotations
 
 import os
 
+# exit code for "the platform failed, not the program" — supervisors
+# (tools/train_supervised.sh) retry on this and on the stall watchdog's
+# 17 (utils/watchdog.py:STALL_EXIT_CODE) but NOT on real errors
+TRANSIENT_EXIT_CODE = 18
+
+# substrings that mark a gRPC/backend failure as transient in the sense
+# that a later retry can succeed (dead tunnel, preempted remote service,
+# coordinator hiccup) — matched case-sensitively against the exception
+# chain's messages
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "Unable to initialize backend",
+    "failed to connect",
+    "Connection reset",
+    "Socket closed",
+)
+
+
+def is_transient_platform_error(exc: BaseException) -> bool:
+    """True when the exception chain looks like a dead/flaky device
+    platform rather than a bug: a supervisor should retry, not a human
+    debug.  Walks __cause__/__context__ so wrapped RuntimeErrors (e.g.
+    jax's "Unable to initialize backend" re-raise) classify too."""
+    seen = set()
+    e: BaseException | None = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        msg = str(e)
+        if any(m in msg for m in _TRANSIENT_MARKERS):
+            return True
+        e = e.__cause__ or e.__context__
+    return False
+
+
+def exit_for_transient_errors(main_fn, argv=None):
+    """Run a CLI main(); convert transient platform failures into
+    sys.exit(TRANSIENT_EXIT_CODE) so supervisors can distinguish
+    "retry me" (17 stall / 18 transient) from genuine errors (1)."""
+    import logging
+    import sys
+    try:
+        return main_fn(argv)
+    except Exception as e:  # noqa: BLE001 — classify, then re-raise
+        if is_transient_platform_error(e):
+            logging.getLogger("platform").error(
+                "transient platform failure (%s: %s) — exiting %d so a "
+                "supervisor can retry", type(e).__name__,
+                str(e).splitlines()[0][:200], TRANSIENT_EXIT_CODE)
+            sys.exit(TRANSIENT_EXIT_CODE)
+        raise
+
 
 def honor_platform_env() -> None:
     """Force the platform named in JAX_PLATFORMS (or imply 'cpu' when a

@@ -73,8 +73,11 @@ fi
 if run_stage train; then
   echo "=== stage: train LAS ($epoch epochs) ==="
   # --scan_unroll 4: measured 15.3->12.7 ms/step f32 (benchmarks/RESULTS.md)
-  python3 train.py $common_flags --epoch $epoch --scheduled_sampling False \
-    --scan_unroll 4
+  # supervised: retries stall-watchdog (17) and transient-platform (18)
+  # exits, resuming from the last epoch checkpoint (docs/OPERATIONS.md)
+  tools/train_supervised.sh 24 -- \
+    python3 train.py $common_flags --epoch $epoch --scheduled_sampling False \
+      --scan_unroll 4 --stall_timeout_s 900
 fi
 
 if run_stage test; then

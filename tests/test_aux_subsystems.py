@@ -459,3 +459,76 @@ def test_wer_ci_cer_mode(tmp_path):
                        "--n_boot", "200", "--json"])
     assert res["metric"] == "CER"
     assert res["wer_a"] == pytest.approx(corpus_cer(refs, hyps))
+
+
+def test_transient_platform_error_classifier():
+    """utils/platform.py: gRPC/backend failures classify as transient
+    (supervisor retries, exit 18); real bugs do not."""
+    from automatic_speech_recognition_tpu.utils.platform import (
+        TRANSIENT_EXIT_CODE, exit_for_transient_errors,
+        is_transient_platform_error)
+
+    assert is_transient_platform_error(
+        RuntimeError("UNAVAILABLE: TPU backend setup/compile error"))
+    assert is_transient_platform_error(RuntimeError(
+        "Unable to initialize backend 'axon': UNAVAILABLE"))
+    assert is_transient_platform_error(
+        RuntimeError("DEADLINE_EXCEEDED: RPC timed out"))
+    # chained: outer generic wrapper, transient cause
+    try:
+        try:
+            raise ConnectionError("Socket closed")
+        except ConnectionError as inner:
+            raise RuntimeError("step failed") from inner
+    except RuntimeError as e:
+        assert is_transient_platform_error(e)
+    # real errors must NOT be retried
+    assert not is_transient_platform_error(ValueError("bad --enc_units"))
+    assert not is_transient_platform_error(
+        FileNotFoundError("no training shards match"))
+
+    # the CLI wrapper converts transient -> sys.exit(18), passes results
+    # through, and re-raises real errors untouched
+    assert exit_for_transient_errors(lambda argv: 42) == 42
+    with pytest.raises(SystemExit) as exc:
+        exit_for_transient_errors(
+            lambda argv: (_ for _ in ()).throw(
+                RuntimeError("UNAVAILABLE: tunnel died")))
+    assert exc.value.code == TRANSIENT_EXIT_CODE
+    with pytest.raises(ValueError):
+        exit_for_transient_errors(
+            lambda argv: (_ for _ in ()).throw(ValueError("bug")))
+
+
+def test_train_supervised_retry_codes(tmp_path):
+    """tools/train_supervised.sh: retries 17/18, stops on other codes,
+    passes through success."""
+    import subprocess
+    script = "/root/repo/tools/train_supervised.sh"
+    cnt = tmp_path / "count"
+
+    # exits 18 twice, then succeeds -> supervisor exits 0 after 3 attempts
+    worker = tmp_path / "worker.sh"
+    worker.write_text(
+        "#!/bin/bash\n"
+        f"n=$(cat {cnt} 2>/dev/null || echo 0); n=$((n+1)); echo $n > {cnt}\n"
+        "[ $n -ge 3 ] && exit 0\nexit 18\n")
+    worker.chmod(0o755)
+    env = dict(os.environ)
+    r = subprocess.run(["bash", "-c",
+                        f"sed 's/sleep \"$backoff\"/:/' {script} > "
+                        f"{tmp_path}/fast.sh && bash {tmp_path}/fast.sh "
+                        f"5 -- {worker}"],
+                       capture_output=True, text=True, env=env, timeout=60)
+    assert r.returncode == 0, r.stderr
+    assert cnt.read_text().strip() == "3"
+
+    # a real error (rc 3) stops immediately with that code
+    cnt.write_text("")
+    bad = tmp_path / "bad.sh"
+    bad.write_text("#!/bin/bash\nexit 3\n")
+    bad.chmod(0o755)
+    r = subprocess.run(["bash", f"{tmp_path}/fast.sh", "5", "--", str(bad)],
+                       capture_output=True, text=True, env=env, timeout=60)
+    assert r.returncode == 3
+    assert "non-retryable" in r.stderr

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Supervised launcher for flaky-platform training (no reference
+# equivalent; the reference assumes a healthy local GPU).
+#
+#   tools/train_supervised.sh [max_attempts] -- python3 train.py ... \
+#       --stall_timeout_s 900
+#
+# Reruns the command while it exits with one of the two RETRYABLE codes:
+#   17  stall watchdog abort (utils/watchdog.py: dead tunnel mid-dispatch)
+#   18  transient platform failure (utils/platform.py: backend
+#       UNAVAILABLE / DEADLINE_EXCEEDED / init failure)
+# Any other nonzero exit (a real error: bad flags, missing shards, OOM)
+# stops immediately — retrying a bug loops forever and buries the trace.
+# Training resumes from the last epoch checkpoint automatically
+# (train.py restore-or-init), so each retry continues, not restarts.
+set -u
+
+max_attempts=24
+if [[ "${1:-}" =~ ^[0-9]+$ ]]; then max_attempts=$1; shift; fi
+[ "${1:-}" = "--" ] && shift
+if [ $# -eq 0 ]; then
+  echo "usage: $0 [max_attempts] -- <training command...>" >&2
+  exit 2
+fi
+
+backoff=60
+for attempt in $(seq 1 "$max_attempts"); do
+  echo "[train_supervised] attempt $attempt/$max_attempts: $*" >&2
+  "$@"
+  rc=$?
+  case $rc in
+    0)  echo "[train_supervised] done" >&2; exit 0 ;;
+    17) echo "[train_supervised] stall watchdog abort (rc 17)" >&2 ;;
+    18) echo "[train_supervised] transient platform failure (rc 18)" >&2 ;;
+    *)  echo "[train_supervised] non-retryable exit $rc; stopping" >&2
+        exit "$rc" ;;
+  esac
+  echo "[train_supervised] sleeping ${backoff}s before retry" >&2
+  sleep "$backoff"
+done
+echo "[train_supervised] gave up after $max_attempts attempts" >&2
+exit 17
