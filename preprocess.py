@@ -196,4 +196,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    from automatic_speech_recognition_tpu.utils.platform import \
+        exit_for_transient_errors
+    exit_for_transient_errors(main)  # exit 18 on dead-platform errors
