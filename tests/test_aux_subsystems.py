@@ -532,3 +532,44 @@ def test_train_supervised_retry_codes(tmp_path):
                        capture_output=True, text=True, env=env, timeout=60)
     assert r.returncode == 3
     assert "non-retryable" in r.stderr
+
+
+def test_error_analysis_alignment_and_counts(tmp_path):
+    """tools/error_analysis.py: alignment op counts reproduce
+    edit_distance, and the confusion tables count the right events."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import error_analysis
+    from automatic_speech_recognition_tpu.utils.text import edit_distance
+
+    # alignment agrees with edit_distance on random pairs
+    rng = np.random.default_rng(0)
+    vocab = list("ABCDE")
+    for _ in range(30):
+        r = [vocab[i] for i in rng.integers(0, 5, rng.integers(0, 8))]
+        h = [vocab[i] for i in rng.integers(0, 5, rng.integers(0, 8))]
+        ops = error_analysis.align(r, h)
+        errs = sum(1 for k, *_ in ops if k != "ok")
+        assert errs == edit_distance(r, h)[0]
+        # alignment reconstructs both sequences
+        assert [a for k, a, b in ops if a is not None] == r
+        assert [b for k, a, b in ops if b is not None] == h
+
+    refs = ["THE CAT SAT", "THE DOG RAN", "A CAT RAN"]
+    hyps = ["THE CAT SAT", "THE DOG RAN FAST", "A BAT RAN"]
+    rep = error_analysis.analyze(refs, hyps)
+    assert rep["wer"] == pytest.approx(2 / 9)
+    assert rep["top_substitutions"] == [(("CAT", "BAT"), 1)]
+    assert rep["top_insertions"] == [("FAST", 1)]
+    assert rep["top_deletions"] == []
+
+    # CLI round trip with --json
+    ref_f, hyp_f = str(tmp_path / "r.txt"), str(tmp_path / "h.txt")
+    open(ref_f, "w").write("\n".join(refs) + "\n")
+    open(hyp_f, "w").write("\n".join(hyps) + "\n")
+    out = error_analysis.main(["--ref", ref_f, "--hyp", hyp_f, "--json"])
+    assert out["wer"] == pytest.approx(2 / 9)
+    short_f = str(tmp_path / "short.txt")
+    open(short_f, "w").write(refs[0] + "\n")
+    with pytest.raises(ValueError, match="line"):
+        error_analysis.main(["--ref", ref_f, "--hyp", short_f])
