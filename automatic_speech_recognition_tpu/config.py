@@ -133,6 +133,14 @@ class Config:
     # reference: create_tfrecord.py:28-29
     maxlen: int = 1710
     records_per_shard: int = 5000
+    # beyond-reference: shards store raw waveforms (S, 1, 1) instead of
+    # features, and the on-device frontend runs INSIDE the jitted train
+    # step (XLA path; fused with fwd+bwd) / eval dispatch — no preprocess
+    # feature stage, no feature storage.  Bucket boundaries, maxlen, and
+    # the loader keep their reference FRAME units; sample-space conversion
+    # happens internally (frames < b  <=>  samples < b*fstride + flen).
+    # Set it for preprocess, create_shards, train, test, and decode alike.
+    audio_shards: bool = False
     # reference: preprocess.py:17
     sample_threshold: int = 30000
     # reference: train.py:107-108 hardcodes 2619 (its derived value for

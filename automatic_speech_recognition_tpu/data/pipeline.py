@@ -70,6 +70,17 @@ class BucketedLoader:
         self.is_training = is_training
         self.boundaries = (cfg.bucket_boundaries_train if is_training
                            else cfg.bucket_boundaries_eval)
+        if cfg.audio_shards:
+            # records are raw waveforms; keep the reference FRAME-unit
+            # tables and convert: frames < b  <=>  samples < b*fstride +
+            # flen, so padding to the converted boundary featurizes to
+            # EXACTLY b frames — bucket membership and the model-side
+            # shape keys match the feature-shard pipeline one for one
+            from ..ops.frontend_host import frame_params
+            flen, fstride = frame_params(cfg.sample_rate, cfg.frame_length,
+                                         cfg.frame_step)
+            self.boundaries = tuple(b * fstride + flen
+                                    for b in self.boundaries)
         self.batch_sizes = cfg.bucket_batch_sizes
         self.max_tokenlen = (cfg.max_tokenlen_train if is_training
                              else cfg.max_tokenlen_eval)

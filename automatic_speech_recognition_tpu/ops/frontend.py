@@ -219,6 +219,33 @@ def extract_features_cfg(audio, audiolen, cfg, frames_max: int = 0):
         use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
 
 
+def featurize_batch(sig, siglen, cfg):
+    """In-dispatch featurization for cfg.audio_shards: a loader batch of
+    raw waveforms (B, S, 1, 1) (or already-flat (B, S)) -> the feature
+    batch the model consumes ((B, T, D, 3) cmvn / (B, T, D, 1) raw) plus
+    frame counts.  Called INSIDE the jitted train step / eval dispatch —
+    XLA fuses the DFT matmuls with the model's forward pass, so features
+    never exist in HBM between stages, let alone on disk.
+
+    Always the XLA path: the Pallas kernel is a custom call GSPMD cannot
+    partition, and the train step is compiled over the device mesh."""
+    if sig.ndim == 4:
+        sig = sig[:, :, 0, 0]
+    feat, featlen = extract_features(
+        sig, siglen.astype(jnp.int32),
+        sample_rate=cfg.sample_rate, frame_length_ms=cfg.frame_length,
+        frame_step_ms=cfg.frame_step, feat_dim=cfg.feat_dim,
+        feat_type=cfg.feat_type, apply_cmvn=cfg.cmvn,
+        fft_length=cfg.fft_length, num_mel_filters=cfg.num_mel_filters,
+        use_pallas=False)
+    if feat.ndim == 3:  # no-cmvn path: single channel, like preprocess
+        feat = feat[..., None]
+    # mirror the feature pipeline's one-frame minimum (its pad rows carry
+    # audiolen=1 FRAME): a sub-frame signal (e.g. an eval pad row) keeps
+    # one zeroed frame so downstream masked ops stay finite
+    return feat, jnp.maximum(featlen, 1)
+
+
 def extract_features_list(signals, cfg, batch_size: int = 128,
                           pad_quantum_s: float = 1.0):
     """Variable-length corpus featurization on device.

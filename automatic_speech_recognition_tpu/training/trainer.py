@@ -56,6 +56,13 @@ def create_train_state(key, cfg: Config) -> TrainState:
 def _apply_update(ts: TrainState, batch, cfg: Config, dec_steps: int):
     """Shared fwd+bwd+optimizer core used by every train-step flavor.
     Returns (new_ts, loss, logits, alphas, grads)."""
+    if cfg.audio_shards:
+        # raw-waveform batches: the frontend runs here, inside the same
+        # jitted program as fwd+bwd — XLA fuses the DFT matmuls into the
+        # step and features never hit HBM between stages (ops/frontend.py)
+        from ..ops import frontend
+        feat, featlen = frontend.featurize_batch(batch[0], batch[1], cfg)
+        batch = (feat, featlen, batch[2], batch[3])
     rng, step_rng = jax.random.split(ts.rng)
     grad_fn = jax.value_and_grad(las.total_loss, has_aux=True)
     (loss, (logits, alphas, new_bn)), grads = grad_fn(

@@ -48,6 +48,18 @@ def main(argv=None):
     cfg = parse_args(argv)
     os.makedirs(cfg.shard_dir, exist_ok=True)
 
+    maxlen = cfg.maxlen
+    if cfg.audio_shards:
+        # records are raw waveforms: apply the reference's frame-unit
+        # MAXLEN cut in sample units (frames >= m <=> samples >= m*fstride
+        # + flen), so exactly the same utterances are dropped as in the
+        # feature-shard pipeline
+        from automatic_speech_recognition_tpu.ops.frontend_host import \
+            frame_params
+        flen, fstride = frame_params(cfg.sample_rate, cfg.frame_length,
+                                     cfg.frame_step)
+        maxlen = cfg.maxlen * fstride + flen
+
     # every train-* and speed_* (augmented, per source cat) feature dump
     cats_on_disk = sorted({
         os.path.basename(p).split("-feats")[0]
@@ -63,7 +75,7 @@ def main(argv=None):
         assert len(feats) == len(tokens), cat
         paths = shards.create_shards(
             feats, tokens, os.path.join(cfg.shard_dir, "train"),
-            records_per_shard=cfg.records_per_shard, maxlen=cfg.maxlen,
+            records_per_shard=cfg.records_per_shard, maxlen=maxlen,
             shuffle=True, seed=cfg.seed, start_index=start_index)
         n = shards.get_num_records(paths)
         log.info("%s: %d records -> %d shards", cat, n, len(paths))

@@ -119,6 +119,13 @@ def main(argv=None):
                 tokens.append(np.array(t))
         log.info("loaded %d records from shards (%s)", len(feats),
                  cfg.shard_dir)
+    if cfg.audio_shards:
+        # both sources hold raw (S, 1, 1) waveforms in this mode (the
+        # preprocess dumps share the -feats naming contract); featurize
+        # on device before the usual feature-batch decode loop
+        from automatic_speech_recognition_tpu.ops import frontend
+        feats = frontend.extract_features_list(
+            [np.asarray(f, np.float32).reshape(-1) for f in feats], cfg)
     log.info("decoding %d utterances (beam %d, lm %s)", len(feats),
              cfg.beam_size, cfg.apply_lm)
 

@@ -127,6 +127,15 @@ def save_feats(cfg, cat, audio_path, transform=None):
         signals = load_signals(paths, cfg.sample_rate)
         if transform is not None:
             signals = [transform(s) for s in signals]
+        if cfg.audio_shards:
+            # raw-waveform mode: dump (S, 1, 1) float32 signals under the
+            # same {cat}-feats naming contract; the frontend runs inside
+            # the jitted train/eval dispatch instead (ops/frontend.py:
+            # featurize_batch), so there is no feature stage at all
+            sigs = [np.asarray(s, np.float32).reshape(-1, 1, 1)
+                    for s in signals]
+            return (_object_array(sigs),
+                    np.asarray([len(s) for s in sigs], np.int32))
         return process_audios(signals, cfg)
 
     if len(audio_path) > thr:

@@ -79,6 +79,11 @@ def main(argv=None):
              cfg.restore_epoch if cfg.restore_epoch >= 0
              else ckpt.latest_epoch(), int(ts.step))
 
+    if cfg.audio_shards:
+        from automatic_speech_recognition_tpu.ops import frontend
+        featurize = jax.jit(
+            lambda sig, siglen: frontend.featurize_batch(sig, siglen, cfg))
+
     hyps, refs = [], []
     skipped = 0
     for batch in loader:
@@ -90,6 +95,12 @@ def main(argv=None):
             pad = cap - real_b
             audio = np.pad(audio, ((0, pad),) + ((0, 0),) * (audio.ndim - 1))
             audiolen = np.pad(audiolen, (0, pad), constant_values=1)
+        if cfg.audio_shards:
+            # raw-waveform shards: featurize in ONE extra device dispatch
+            # per batch (the padded sample width is a bucket boundary, so
+            # shape keys stay one-per-bucket); downstream is unchanged
+            audio, audiolen = featurize(jax.numpy.asarray(audio),
+                                        jax.numpy.asarray(audiolen))
         dec_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
         try:
             if cfg.eval_decoder == "ctc_greedy":

@@ -1,0 +1,189 @@
+"""Raw-waveform shards (--audio_shards): the frontend fused into the
+jitted train/eval dispatch instead of a preprocess feature stage.
+
+Beyond-reference capability (the reference REQUIRES the speechpy
+preprocess stage, reference preprocess.py:50-91 + create_tfrecord.py);
+the contract under test is strict equivalence with the feature-shard
+pipeline: same bucket membership, same model-side shapes, same numbers.
+"""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from automatic_speech_recognition_tpu.config import Config
+from automatic_speech_recognition_tpu.data import shards
+from automatic_speech_recognition_tpu.data.pipeline import BucketedLoader
+from automatic_speech_recognition_tpu.ops import frontend
+from automatic_speech_recognition_tpu.ops.frontend_host import frame_params
+from automatic_speech_recognition_tpu.training import trainer
+from automatic_speech_recognition_tpu.utils.tokenizer import CharEncoder
+from automatic_speech_recognition_tpu.data.audio_io import write_wav
+
+TINY = dict(unit="char", vocab_size=30, feat_dim=8, enc_type="cnn",
+            enc_units=16, num_enc_channels=4, num_enc_layers=1,
+            dec_units=16, num_dec_layers=1, embedding_size=8,
+            attention_size=8, mode="add", dropout_rate=0.0,
+            scheduled_sampling=False, apply_bn=False, label_smoothing=False,
+            bucket_boundaries_eval=(48, 64), bucket_batch_sizes=(4, 4),
+            max_tokenlen_eval=12, lr=5e-3)
+
+
+def _make_corpus(rng, n=8, lo=24, hi=60):
+    """Signals whose frame counts land in [lo, hi) (both eval buckets by
+    default)."""
+    flen, fstride = frame_params(16000, 25, 10)
+    tok = CharEncoder()
+    signals, tokens = [], []
+    for i in range(n):
+        frames = int(rng.integers(lo, hi))
+        S = flen + frames * fstride + int(rng.integers(0, fstride))
+        # noise-like, NOT a pure tone: CMVN on a constant-spectrum signal
+        # divides by a near-zero per-dim variance, which amplifies
+        # last-ulp matmul-tiling differences between padded widths into
+        # O(1) sign flips — a degenerate input, not a pipeline property
+        signals.append(
+            (0.1 * rng.standard_normal(S)).astype(np.float32))
+        tokens.append(np.asarray(tok.encode("AB CD", with_eos=True),
+                                 np.int32))
+    return signals, tokens
+
+
+def test_audio_vs_feature_shards_equivalence(tmp_path, rng):
+    """Same corpus through both pipelines: identical bucket membership
+    and frame counts, matching feature values, matching train-step loss."""
+    cfg_feat = Config(**TINY)
+    cfg_audio = cfg_feat.replace(audio_shards=True)
+    signals, tokens = _make_corpus(rng)
+
+    os.makedirs(tmp_path / "feat")
+    os.makedirs(tmp_path / "audio")
+    feats = frontend.extract_features_list(signals, cfg_feat)
+    shards.create_shards(feats, tokens, str(tmp_path / "feat" / "dev"),
+                         records_per_shard=100, shuffle=False)
+    sigs3 = [s.reshape(-1, 1, 1) for s in signals]
+    shards.create_shards(sigs3, tokens, str(tmp_path / "audio" / "dev"),
+                         records_per_shard=100, shuffle=False)
+
+    lf = BucketedLoader(sorted(glob.glob(str(tmp_path / "feat" / "dev*"))),
+                        cfg_feat, is_training=False)
+    la = BucketedLoader(sorted(glob.glob(str(tmp_path / "audio" / "dev*"))),
+                        cfg_audio, is_training=False)
+    batches_f, batches_a = list(lf), list(la)
+    assert len(batches_f) == len(batches_a) >= 2  # both buckets hit
+
+    # train_step donates its state: feed each call a fresh device copy
+    host_ts = jax.device_get(
+        trainer.create_train_state(jax.random.PRNGKey(0), cfg_feat))
+    fresh = lambda: jax.tree_util.tree_map(jnp.asarray, host_ts)
+    for bf, ba in zip(batches_f, batches_a):
+        # bucket membership and batch composition match one for one
+        assert bf[0].shape[0] == ba[0].shape[0]
+        np.testing.assert_array_equal(bf[2], ba[2])
+        # in-step featurization reproduces the preprocess features
+        feat_a, featlen_a = frontend.featurize_batch(
+            jnp.asarray(ba[0]), jnp.asarray(ba[1]), cfg_audio)
+        assert feat_a.shape == bf[0].shape  # padded to the same frames
+        np.testing.assert_array_equal(np.asarray(featlen_a), bf[1])
+        np.testing.assert_allclose(np.asarray(feat_a), bf[0],
+                                   rtol=1e-4, atol=1e-4)
+        # one optimization step from the same state: same loss
+        dec = bf[2].shape[1]
+        _, mf = trainer.train_step(fresh(), tuple(bf), cfg_feat,
+                                   dec_steps=dec)
+        _, ma = trainer.train_step(fresh(), tuple(ba), cfg_audio,
+                                   dec_steps=dec)
+        np.testing.assert_allclose(float(ma["loss"]), float(mf["loss"]),
+                                   rtol=1e-4)
+
+
+def test_audio_shards_multi_step_and_mesh(tmp_path, rng):
+    """The adapter covers every step flavor: K-step scan dispatch and the
+    SPMD mesh step both train from waveform batches."""
+    # batch of 8: divisible by the 8-device virtual mesh's data axis
+    cfg = Config(**TINY).replace(audio_shards=True,
+                                 bucket_batch_sizes=(8, 8))
+    signals, tokens = _make_corpus(rng, lo=24, hi=47)  # one full bucket
+    sigs3 = [s.reshape(-1, 1, 1) for s in signals]
+    shards.create_shards(sigs3, tokens, str(tmp_path / "dev"),
+                         records_per_shard=100, shuffle=False)
+    loader = BucketedLoader(sorted(glob.glob(str(tmp_path / "dev*"))),
+                            cfg, is_training=False)
+    batch = next(iter(loader))
+
+    host_ts = jax.device_get(
+        trainer.create_train_state(jax.random.PRNGKey(0), cfg))
+    fresh = lambda: jax.tree_util.tree_map(jnp.asarray, host_ts)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), tuple(batch), tuple(batch))
+    ts2, m = trainer.train_multi_step(fresh(), stacked, cfg,
+                                      dec_steps=batch[2].shape[1])
+    assert np.isfinite(np.asarray(m["loss"])).all()
+
+    from automatic_speech_recognition_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(num_partitions=1)
+    step_fn, ts_sh, shard_batch = trainer.make_mesh_train_step(
+        mesh, fresh(), tuple(batch), cfg)
+    _, m = step_fn(ts_sh, shard_batch(tuple(batch)))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_audio_shards_cli_pipeline(tmp_path, rng, monkeypatch):
+    """Full CLI path with --audio_shards True: preprocess (raw dumps) ->
+    create_shards -> train 1 epoch -> test.py WER -> decode.py beam."""
+    import preprocess as pre_cli
+    import create_shards as cs_cli
+    import train as train_cli
+    import test as test_cli
+    import decode as decode_cli
+
+    root = str(tmp_path)
+    words = ["HELLO", "WORLD", "LISTEN", "SPELL"]
+    dd = f"{root}/corpus/train/1/10"
+    os.makedirs(dd)
+    lines = []
+    for u in range(8):
+        uid = f"1-10-{u:04d}"
+        lines.append(f"{uid} {' '.join(rng.choice(words, 2))}")
+        write_wav(f"{dd}/{uid}.wav",
+                  rng.standard_normal(int(16000 * 0.7)) * 0.1, 16000)
+    with open(f"{dd}/1-10.trans.txt", "w") as f:
+        f.write("\n".join(lines))
+    import shutil
+    shutil.copytree(f"{root}/corpus/train", f"{root}/corpus/dev")
+
+    flags = ["--unit", "char", "--feat_dim", "8", "--audio_shards", "True",
+             "--train_100hr_corpus_dir", f"{root}/corpus/train",
+             "--train_360hr_corpus_dir", f"{root}/no360",
+             "--train_500hr_corpus_dir", f"{root}/no500",
+             "--dev_data_dir", f"{root}/corpus/dev",
+             "--test_data_dir", f"{root}/notest",
+             "--feat_dir", f"{root}/feats", "--shard_dir", f"{root}/shards",
+             "--save_dir", f"{root}/model", "--log_dir", f"{root}/log",
+             "--summary_dir", f"{root}/sum",
+             "--enc_units", "16", "--num_enc_channels", "4",
+             "--num_enc_layers", "1", "--dec_units", "16",
+             "--num_dec_layers", "1", "--embedding_size", "8",
+             "--attention_size", "8", "--mode", "add",
+             "--dropout_rate", "0.0", "--scheduled_sampling", "False",
+             "--epoch", "1", "--steps_per_epoch", "3",
+             "--bucket_boundaries_train", "72,96",
+             "--bucket_boundaries_eval", "72,96",
+             "--bucket_batch_sizes", "8,8",
+             "--max_tokenlen_train", "14", "--max_tokenlen_eval", "14"]
+    pre_cli.main(flags)
+    # the dumps are raw waveforms, not features
+    dump = np.load(f"{root}/feats/train-100-feats.npy", allow_pickle=True)
+    assert dump[0].shape[1:] == (1, 1)
+    cs_cli.main(flags)
+    train_cli.main(flags)
+    wer = test_cli.main(flags + ["--split", "dev", "--convert_rate", "0.3"])
+    assert np.isfinite(wer) and wer >= 0.0
+    decode_cli.main(flags + ["--split", "dev", "--convert_rate", "0.3",
+                             "--beam_size", "2", "--beam_logprob", "True",
+                             "--restore_epoch", "-1"])
+    assert os.path.exists(f"{root}/log/decode_pred.txt")

@@ -303,9 +303,12 @@ def main(argv=None):
                                             tokenizer.id_to_token, cfg.unit)
                 writer.text("train/hyp", hyp, global_step)
                 writer.image("train/alphas", m["sample_alphas"], global_step)
-                # input-feature image of sample 0 (reference: las.py:297-299)
-                feat_img = np.asarray(batch[0])[0, :, :, 0].T
-                writer.image("train/features", feat_img, global_step)
+                if not cfg.audio_shards:
+                    # input-feature image of sample 0 (reference:
+                    # las.py:297-299); raw-waveform batches have no
+                    # feature plane on the host to render
+                    feat_img = np.asarray(batch[0])[0, :, :, 0].T
+                    writer.image("train/features", feat_img, global_step)
                 log.info("HYP: %s", hyp[:120])
         # jump-safe: global_step advances by n_done at a time
         if global_step % steps_per_epoch < n_done:
