@@ -60,7 +60,7 @@ def scan_overhead():
           f" -> {per_iter*1e6:.1f} us/iter marginal")
 
 
-def train_bench(quick: bool, unroll: int = 1):
+def train_bench(quick: bool, unroll: int = 1, from_audio: bool = False):
     B, T, L = 48, 512, 60
     size = dict(enc_units=256, num_enc_channels=32, num_enc_layers=2,
                 dec_units=512, num_dec_layers=2, embedding_size=128)
@@ -68,17 +68,29 @@ def train_bench(quick: bool, unroll: int = 1):
         size.update(enc_units=512, num_enc_layers=4, dec_units=1024,
                     embedding_size=256)
     rng = np.random.default_rng(0)
-    batch = (jnp.asarray(rng.standard_normal((B, T, 13, 3)), jnp.float32),
-             jnp.full((B,), T, jnp.int32),
-             jnp.asarray(rng.integers(1, 30, (B, L)), jnp.int32),
-             jnp.full((B,), L, jnp.int32))
+    if from_audio:
+        # --audio_shards production shape: raw waveforms, the frontend
+        # fused into the dispatch (ops/frontend.featurize_batch); T frames
+        # at 10 ms hop / 25 ms window -> flen + T*fstride samples
+        S = 400 + T * 160
+        batch = (jnp.asarray(0.1 * rng.standard_normal((B, S, 1, 1)),
+                             jnp.float32),
+                 jnp.full((B,), S, jnp.int32),
+                 jnp.asarray(rng.integers(1, 30, (B, L)), jnp.int32),
+                 jnp.full((B,), L, jnp.int32))
+    else:
+        batch = (jnp.asarray(rng.standard_normal((B, T, 13, 3)), jnp.float32),
+                 jnp.full((B,), T, jnp.int32),
+                 jnp.asarray(rng.integers(1, 30, (B, L)), jnp.int32),
+                 jnp.full((B,), L, jnp.int32))
     K = 8  # steps per dispatch: ONE device call runs K optimizer steps
     stacked = tuple(jnp.stack([b] * K) for b in batch)
     for dtype in ("float32", "bfloat16"):
         cfg = Config(unit="char", vocab_size=30, feat_dim=13, enc_type="cnn",
                      attention_size=128, mode="add", dropout_rate=0.0,
                      scheduled_sampling=False, apply_bn=False, lr=1e-4,
-                     dtype=dtype, scan_unroll=unroll, **size)
+                     dtype=dtype, scan_unroll=unroll,
+                     audio_shards=from_audio, **size)
         ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
         t0 = time.perf_counter()
         ts, m = trainer.train_step(ts, batch, cfg, dec_steps=L)
@@ -106,8 +118,11 @@ if __name__ == "__main__":
     ap.add_argument("--unroll", type=int, default=1,
                     help="lax.scan unroll factor for the RNN/decoder scans")
     ap.add_argument("--skip_scan_overhead", action="store_true")
+    ap.add_argument("--audio", action="store_true",
+                    help="raw-waveform batches (--audio_shards): measures "
+                         "the fused in-step frontend's marginal cost")
     args = ap.parse_args()
     print("devices:", jax.devices())
     if not args.skip_scan_overhead:
         scan_overhead()
-    train_bench(args.quick, unroll=args.unroll)
+    train_bench(args.quick, unroll=args.unroll, from_audio=args.audio)
