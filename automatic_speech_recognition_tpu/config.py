@@ -141,6 +141,14 @@ class Config:
     # happens internally (frames < b  <=>  samples < b*fstride + flen).
     # Set it for preprocess, create_shards, train, test, and decode alike.
     audio_shards: bool = False
+    # beyond-reference, requires audio_shards: resample each training
+    # batch on-device at a random rate from this comma-separated list
+    # (sox `speed` semantics, same Kaiser-sinc filter as the offline
+    # path) instead of the reference's fixed 0.9/1.0/1.1 corpus copies.
+    # The loader buckets training records by the slowest rate's output
+    # length so the resampled signal fits the bucket's padded buffer.
+    online_speed_perturb: bool = False
+    online_speed_rates: str = "0.9,1.0,1.1"
     # reference: preprocess.py:17
     sample_threshold: int = 30000
     # reference: train.py:107-108 hardcodes 2619 (its derived value for

@@ -81,6 +81,14 @@ class BucketedLoader:
                                          cfg.frame_step)
             self.boundaries = tuple(b * fstride + flen
                                     for b in self.boundaries)
+        if cfg.audio_shards and cfg.online_speed_perturb and is_training:
+            # bucket by the SLOWEST configured rate's output length so the
+            # on-device resample still fits the bucket's padded buffer
+            from ..ops.augmentation import worst_stretch_len
+            self._len_key = (lambda n, _spec=cfg.online_speed_rates:
+                             worst_stretch_len(n, _spec))
+        else:
+            self._len_key = lambda n: n
         self.batch_sizes = cfg.bucket_batch_sizes
         self.max_tokenlen = (cfg.max_tokenlen_train if is_training
                              else cfg.max_tokenlen_eval)
@@ -109,7 +117,7 @@ class BucketedLoader:
         counts: dict = {}
         for r in self._readers.values():
             for i in range(len(r)):
-                b = bucket_of(r.featlen(i), self.boundaries)
+                b = bucket_of(self._len_key(r.featlen(i)), self.boundaries)
                 if b is not None:
                     counts[b] = counts.get(b, 0) + 1
         total = 0
@@ -213,7 +221,7 @@ class BucketedLoader:
         buckets: List[List] = [[] for _ in self.boundaries]
         self.dropped = 0  # beyond-last-boundary utts in the latest pass
         for r, i, featlen in self._record_stream():
-            b = bucket_of(featlen, self.boundaries)
+            b = bucket_of(self._len_key(featlen), self.boundaries)
             if b is None:
                 self.dropped += 1
                 continue  # drop beyond-last-boundary utts (TF raises; we drop)

@@ -127,6 +127,103 @@ def speed_augment_all(signals: Sequence[np.ndarray],
 
 
 # ===========================================================================
+# On-device online speed perturbation (beyond-reference capability)
+# ===========================================================================
+#
+# The reference re-renders the whole corpus to disk per speed factor
+# (utils/augmentation.py:6-31: one sox subprocess per file per rate) and
+# trains on the union.  With --audio_shards the waveform is already inside
+# the jitted train step, so the same bandlimited resampling can run
+# on-device with a fresh random rate per batch: upfirdn(h, x, up, down)
+# IS a dilated strided convolution, which is exactly
+# lax.conv_general_dilated(lhs_dilation=up, window_strides=down) with the
+# (symmetric) Kaiser-sinc kernel — the MXU does the polyphase FIR.  The
+# numbers match the host _resample_sinc sample for sample (pinned by
+# tests/test_audio_shards.py); the corpus is never re-rendered, and every
+# epoch sees a different random speed assignment instead of the
+# reference's fixed three copies.
+
+import jax
+import jax.numpy as jnp
+
+
+def _parse_rates(spec: str):
+    rates = tuple(float(r) for r in str(spec).split(",") if r.strip())
+    if not rates:
+        raise ValueError(f"no rates in online_speed_rates={spec!r}")
+    if any(r <= 0 for r in rates):
+        raise ValueError(f"speeds must be positive: {rates}")
+    return rates
+
+
+def worst_stretch_len(n: int, rates_spec: str) -> int:
+    """Largest output sample count any configured rate can produce from an
+    n-sample signal — the loader buckets training records by THIS length
+    so the slowest rate's output still fits the bucket's padded buffer."""
+    out = n
+    for r in _parse_rates(rates_spec):
+        frac = _rational_speed(r)
+        down, up = frac.numerator, frac.denominator
+        out = max(out, (n * up) // down)
+    return out
+
+
+def resample_rational_device(sig: jnp.ndarray, siglen: jnp.ndarray,
+                             up: int, down: int):
+    """On-device bandlimited rational resampling of a padded batch.
+
+    sig: (B, S) float32 padded waveforms; siglen: (B,) valid counts.
+    Returns (out (B, S), new_len) with out[n] = f[H + n*down] exactly as
+    the host _resample_sinc computes it (the trailing zeros of the padded
+    buffer play the role of the host's explicit tail padding), truncated
+    or zero-padded to the same S-sample buffer, and samples at or beyond
+    new_len = floor(siglen*up/down) zeroed.
+    """
+    if up == down:
+        return sig, siglen.astype(jnp.int32)
+    h = design_resample_filter(up, down)
+    H = (len(h) - 1) // 2
+    B, S = sig.shape
+    # cross-correlation with pad_lo=H gives out[n] = sum_m xd[m] h_rev[
+    # n*down - H + (t)] ... with h symmetric, h reversed == h, and the
+    # result is the zero-stuffed convolution sampled at H + n*down
+    w = jnp.asarray(h[::-1].copy(), jnp.float32).reshape(1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        sig[:, None, :].astype(jnp.float32), w,
+        window_strides=(down,), padding=[(H, H + down)],
+        lhs_dilation=(up,), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
+    if out.shape[1] >= S:
+        out = out[:, :S]
+    else:
+        out = jnp.pad(out, ((0, 0), (0, S - out.shape[1])))
+    # int32 is ample: S*up tops out ~3e6 for any real utterance/rate
+    new_len = jnp.minimum((siglen.astype(jnp.int32) * up) // down,
+                          S).astype(jnp.int32)
+    mask = jnp.arange(S)[None, :] < new_len[:, None]
+    return out * mask.astype(out.dtype), new_len
+
+
+def online_speed_perturb(rng, sig: jnp.ndarray, siglen: jnp.ndarray, cfg):
+    """Pick one configured rate per BATCH (the batch-level-coin precedent
+    the reference sets for scheduled sampling) and resample on-device.
+    The padded buffer width is preserved; callers must have bucketed by
+    worst_stretch_len so slow rates fit."""
+    rates = _parse_rates(cfg.online_speed_rates)
+
+    def make_branch(r):
+        frac = _rational_speed(r)
+        down, up = frac.numerator, frac.denominator
+
+        def branch(s, n):
+            return resample_rational_device(s, n, up, down)
+        return branch
+
+    branches = [make_branch(r) for r in rates]
+    idx = jax.random.randint(rng, (), 0, len(rates))
+    return jax.lax.switch(idx, branches, sig, siglen)
+
+
+# ===========================================================================
 # SpecAugment (on-device, beyond-reference capability)
 # ===========================================================================
 #
@@ -138,9 +235,6 @@ def speed_augment_all(signals: Sequence[np.ndarray],
 # — no host work, no extra HBM traffic, nothing re-rendered to disk.
 # Masked bins are zeroed; after per-utterance CMVN zero is the feature
 # mean, which is the conventional fill value.
-
-import jax
-import jax.numpy as jnp
 
 
 def _axis_mask(key, n_masks: int, axis_len: int, max_width, limit):

@@ -57,11 +57,21 @@ def _apply_update(ts: TrainState, batch, cfg: Config, dec_steps: int):
     """Shared fwd+bwd+optimizer core used by every train-step flavor.
     Returns (new_ts, loss, logits, alphas, grads)."""
     if cfg.audio_shards:
-        # raw-waveform batches: the frontend runs here, inside the same
-        # jitted program as fwd+bwd — XLA fuses the DFT matmuls into the
-        # step and features never hit HBM between stages (ops/frontend.py)
-        from ..ops import frontend
-        feat, featlen = frontend.featurize_batch(batch[0], batch[1], cfg)
+        # raw-waveform batches: augmentation and the frontend run here,
+        # inside the same jitted program as fwd+bwd — XLA fuses the DFT
+        # matmuls into the step and features never hit HBM between
+        # stages (ops/frontend.py, ops/augmentation.py)
+        from ..ops import augmentation, frontend
+        sig, siglen = batch[0], batch[1]
+        if sig.ndim == 4:
+            sig = sig[:, :, 0, 0]
+        if cfg.online_speed_perturb:
+            # independent of the split() stream below so augmentation
+            # does not shift dropout/sampling RNG vs a non-augmented run
+            aug_rng = jax.random.fold_in(ts.rng, 0x5eed)
+            sig, siglen = augmentation.online_speed_perturb(
+                aug_rng, sig, siglen, cfg)
+        feat, featlen = frontend.featurize_batch(sig, siglen, cfg)
         batch = (feat, featlen, batch[2], batch[3])
     rng, step_rng = jax.random.split(ts.rng)
     grad_fn = jax.value_and_grad(las.total_loss, has_aux=True)

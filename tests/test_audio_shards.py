@@ -187,3 +187,115 @@ def test_audio_shards_cli_pipeline(tmp_path, rng, monkeypatch):
                              "--beam_size", "2", "--beam_logprob", "True",
                              "--restore_epoch", "-1"])
     assert os.path.exists(f"{root}/log/decode_pred.txt")
+
+
+def test_device_resampler_matches_host():
+    """ops/augmentation.resample_rational_device: the dilated-strided
+    convolution reproduces the host upfirdn polyphase path sample for
+    sample, for both an upsampling (0.9) and a downsampling (1.1) rate."""
+    from automatic_speech_recognition_tpu.ops import augmentation as aug
+
+    rng = np.random.default_rng(3)
+    S_pad = 4000
+    lens = [3200, 2777]
+    sig = np.zeros((2, S_pad), np.float32)
+    for i, n in enumerate(lens):
+        sig[i, :n] = 0.3 * rng.standard_normal(n).astype(np.float32)
+
+    for speed in (0.9, 1.1):
+        frac = aug._rational_speed(speed)
+        down, up = frac.numerator, frac.denominator
+        out, new_len = aug.resample_rational_device(
+            jnp.asarray(sig), jnp.asarray(lens, np.int32), up, down)
+        out = np.asarray(out)
+        for i, n in enumerate(lens):
+            n_out = (n * up) // down
+            assert int(new_len[i]) == n_out
+            # host path pads the signal tail itself; the device path's
+            # padded buffer zeros are the same samples
+            ref = aug._resample_sinc(sig[i, :n], up, down, n_out)
+            np.testing.assert_allclose(out[i, :n_out], ref,
+                                       rtol=2e-4, atol=2e-5)
+            assert not out[i, n_out:].any()  # masked beyond the new length
+
+
+def test_online_speed_perturb_batch_switch():
+    """online_speed_perturb picks ONE configured rate per batch; every
+    rate in the list is reachable and the output matches that rate's
+    direct resample (rate 1.0 = identity)."""
+    from automatic_speech_recognition_tpu.config import Config
+    from automatic_speech_recognition_tpu.ops import augmentation as aug
+
+    rng = np.random.default_rng(5)
+    S_pad = 3000
+    sig = (0.2 * rng.standard_normal((2, S_pad))).astype(np.float32)
+    siglen = np.asarray([2500, 2000], np.int32)
+    cfg = Config(unit="char", vocab_size=30, audio_shards=True,
+                 online_speed_perturb=True)
+
+    per_rate = {}
+    for r in (0.9, 1.0, 1.1):
+        frac = aug._rational_speed(r)
+        out, nl = aug.resample_rational_device(
+            jnp.asarray(sig), jnp.asarray(siglen),
+            frac.denominator, frac.numerator)
+        per_rate[r] = (np.asarray(out), np.asarray(nl))
+    np.testing.assert_array_equal(per_rate[1.0][0], sig)  # identity
+
+    seen = set()
+    for k in range(12):
+        out, nl = aug.online_speed_perturb(
+            jax.random.PRNGKey(k), jnp.asarray(sig), jnp.asarray(siglen),
+            cfg)
+        out, nl = np.asarray(out), np.asarray(nl)
+        hits = [r for r, (o, n) in per_rate.items()
+                if np.array_equal(nl, n) and np.allclose(out, o, atol=1e-5)]
+        assert len(hits) == 1, "batch must match exactly one rate"
+        seen.add(hits[0])
+    assert seen == {0.9, 1.0, 1.1}  # all rates reachable
+
+
+def test_online_speed_bucketing_and_training(tmp_path, rng):
+    """The loader buckets by the slowest rate's output length (a record
+    near a boundary moves up a bucket) and a train step on the stretched
+    batch is finite at every rate branch."""
+    from automatic_speech_recognition_tpu.ops.augmentation import (
+        worst_stretch_len)
+
+    flen, fstride = frame_params(16000, 25, 10)
+    cfg = Config(**TINY).replace(audio_shards=True,
+                                 online_speed_perturb=True)
+    # 46 frames: fits bucket 0 (<48) raw, but stretched by 1/0.9 it
+    # crosses into bucket 1
+    S = flen + 46 * fstride
+    assert worst_stretch_len(S, "0.9,1.0,1.1") > 48 * fstride + flen
+    tok = CharEncoder()
+    sigs = [(0.1 * rng.standard_normal(S)).astype(np.float32)
+            .reshape(-1, 1, 1) for _ in range(4)]
+    tokens = [np.asarray(tok.encode("AB", with_eos=True), np.int32)] * 4
+    shards.create_shards(sigs, tokens, str(tmp_path / "train"),
+                         records_per_shard=100, shuffle=False)
+    files = sorted(glob.glob(str(tmp_path / "train*")))
+
+    cfg_train = cfg.replace(bucket_boundaries_train=(48, 64),
+                            bucket_batch_sizes=(4, 4), max_tokenlen_train=8)
+    loader = BucketedLoader(files, cfg_train, is_training=True, seed=0)
+    batch = next(iter(loader))
+    # bucketed UP: padded to boundary 64's sample width, not bucket 0's
+    assert batch[0].shape[1] == 64 * fstride + flen
+
+    host_ts = jax.device_get(
+        trainer.create_train_state(jax.random.PRNGKey(0), cfg_train))
+    for k in range(6):  # several batch coins: every branch must be finite
+        ts = jax.tree_util.tree_map(jnp.asarray, host_ts)
+        ts = ts._replace(rng=jax.random.PRNGKey(k))
+        _, m = trainer.train_step(ts, tuple(batch), cfg_train,
+                                  dec_steps=batch[2].shape[1])
+        assert np.isfinite(float(m["loss"]))
+
+    # eval loaders ignore the stretch (no augmentation at eval)
+    loader_ev = BucketedLoader(files, cfg_train.replace(
+        bucket_boundaries_eval=(48, 64), max_tokenlen_eval=8),
+        is_training=False)
+    ev = next(iter(loader_ev))
+    assert ev[0].shape[1] == 48 * fstride + flen
