@@ -149,6 +149,12 @@ class Config:
     # length so the resampled signal fits the bucket's padded buffer.
     online_speed_perturb: bool = False
     online_speed_rates: str = "0.9,1.0,1.1"
+    # beyond-reference, requires audio_shards: per-utterance random gain
+    # in [low, high] with clipping, applied on-device in the train step
+    # (the reference's commented-out VolumeAugmentation, made online)
+    online_volume_perturb: bool = False
+    online_volume_low: float = 0.8
+    online_volume_high: float = 1.2
     # reference: preprocess.py:17
     sample_threshold: int = 30000
     # reference: train.py:107-108 hardcodes 2619 (its derived value for

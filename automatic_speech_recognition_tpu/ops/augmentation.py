@@ -223,6 +223,19 @@ def online_speed_perturb(rng, sig: jnp.ndarray, siglen: jnp.ndarray, cfg):
     return jax.lax.switch(idx, branches, sig, siglen)
 
 
+def online_volume_perturb(rng, sig: jnp.ndarray, cfg):
+    """Per-UTTERANCE random gain in [online_volume_low, online_volume_high]
+    with clipping to [-1, 1] — the on-device version of volume_perturb
+    (the reference ships this commented out, utils/augmentation.py:33-56).
+    Gains are drawn per utterance (amplitude is an utterance property;
+    unlike speed it costs nothing to vary within the batch)."""
+    lo, hi = cfg.online_volume_low, cfg.online_volume_high
+    if not 0 < lo <= hi:
+        raise ValueError(f"need 0 < low <= high, got [{lo}, {hi}]")
+    gains = jax.random.uniform(rng, (sig.shape[0], 1), jnp.float32, lo, hi)
+    return jnp.clip(sig * gains, -1.0, 1.0)
+
+
 # ===========================================================================
 # SpecAugment (on-device, beyond-reference capability)
 # ===========================================================================

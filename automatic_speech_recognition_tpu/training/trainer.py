@@ -71,6 +71,9 @@ def _apply_update(ts: TrainState, batch, cfg: Config, dec_steps: int):
             aug_rng = jax.random.fold_in(ts.rng, 0x5eed)
             sig, siglen = augmentation.online_speed_perturb(
                 aug_rng, sig, siglen, cfg)
+        if cfg.online_volume_perturb:
+            vol_rng = jax.random.fold_in(ts.rng, 0x701)
+            sig = augmentation.online_volume_perturb(vol_rng, sig, cfg)
         feat, featlen = frontend.featurize_batch(sig, siglen, cfg)
         batch = (feat, featlen, batch[2], batch[3])
     rng, step_rng = jax.random.split(ts.rng)

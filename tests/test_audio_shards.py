@@ -299,3 +299,48 @@ def test_online_speed_bucketing_and_training(tmp_path, rng):
         is_training=False)
     ev = next(iter(loader_ev))
     assert ev[0].shape[1] == 48 * fstride + flen
+
+
+def test_online_volume_perturb():
+    """Per-utterance gains within bounds, clipping honored, train step
+    wiring finite; and the misconfiguration is rejected."""
+    from automatic_speech_recognition_tpu.ops import augmentation as aug
+
+    rng = np.random.default_rng(7)
+    sig = (0.9 * rng.standard_normal((4, 1000))).astype(np.float32)
+    cfg = Config(**TINY).replace(audio_shards=True,
+                                 online_volume_perturb=True,
+                                 online_volume_low=0.5,
+                                 online_volume_high=2.0)
+    out = np.asarray(aug.online_volume_perturb(
+        jax.random.PRNGKey(0), jnp.asarray(sig), cfg))
+    assert np.abs(out).max() <= 1.0  # clipped
+    # recover per-utterance gains from unclipped samples: constant per row
+    for i in range(4):
+        unclipped = np.abs(out[i]) < 0.999
+        small = np.abs(sig[i]) > 1e-3
+        ratios = out[i][unclipped & small] / sig[i][unclipped & small]
+        assert ratios.std() < 1e-5
+        assert 0.5 <= ratios.mean() <= 2.0
+    gains = []
+    for i in range(4):
+        m = (np.abs(out[i]) < 0.999) & (np.abs(sig[i]) > 1e-3)
+        gains.append(float((out[i][m] / sig[i][m]).mean()))
+    assert np.std(gains) > 1e-3  # gains vary ACROSS utterances
+
+    with pytest.raises(ValueError, match="low"):
+        aug.online_volume_perturb(
+            jax.random.PRNGKey(0), jnp.asarray(sig),
+            cfg.replace(online_volume_low=0.0))
+
+    # wiring: one train step from waveforms with volume perturb on
+    flen, fstride = frame_params(16000, 25, 10)
+    S = flen + 30 * fstride
+    batch = (jnp.asarray(0.1 * rng.standard_normal((4, S, 1, 1)),
+                         jnp.float32),
+             jnp.full((4,), S, jnp.int32),
+             jnp.asarray(rng.integers(3, 29, (4, 6)), jnp.int32),
+             jnp.full((4,), 6, jnp.int32))
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    _, m = trainer.train_step(ts, batch, cfg, dec_steps=6)
+    assert np.isfinite(float(m["loss"]))
