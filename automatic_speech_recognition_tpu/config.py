@@ -308,6 +308,10 @@ MODEL_FIELDS = (
     "enc_type", "enc_units", "num_enc_channels", "num_enc_layers",
     "attention_size", "loc_kernel_size", "loc_num_channels", "mode",
     "dec_units", "num_dec_layers", "embedding_size", "apply_bn", "ctc",
+    # not a parameter-shape field, but it defines what the model's shards
+    # CONTAIN: --use_saved_config eval of an audio-shards model must read
+    # waveform shards, or every record is dropped as over-length
+    "audio_shards",
 )
 
 

@@ -77,6 +77,7 @@ from . import ctc_prefix
 log = logging.getLogger("beam")
 
 NEG = -1.0e30
+PAD_ID = 0
 SOS_ID = 1
 EOS_ID = 2
 # per-beam expansion budget before global top-K (las/beam_search.py:123)
@@ -234,12 +235,13 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
             # end detection (Chorowski & Jaitly 2017 sec. 4): EOS may only
             # expand when it scores within the margin of the best other
             # token, blocking cheap early retirements.  "Other" excludes
-            # SOS: it is never a training target, so its unconstrained
-            # logit would be a phantom competitor able to block EOS while
-            # being inadmissible as an expansion itself (t > 0).
+            # the control ids SOS and PAD: neither is ever a training
+            # target (cross_entropy masks y==0, SOS is never emitted), so
+            # their unconstrained logits would be phantom competitors
+            # able to block EOS indefinitely.
             best_other = jnp.max(
-                step_scores.at[:, EOS_ID].set(NEG).at[:, SOS_ID].set(NEG),
-                axis=-1)
+                step_scores.at[:, EOS_ID].set(NEG).at[:, SOS_ID].set(NEG)
+                .at[:, PAD_ID].set(NEG), axis=-1)
             eos_ok = (step_scores[:, EOS_ID]
                       >= best_other - cfg.beam_eos_margin)
             step_scores = step_scores.at[:, EOS_ID].set(

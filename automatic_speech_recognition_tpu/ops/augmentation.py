@@ -22,6 +22,7 @@ out (utils/augmentation.py:33-56, README.md:26).
 
 from __future__ import annotations
 
+import functools as _functools
 from fractions import Fraction
 from typing import List, Sequence
 
@@ -156,14 +157,25 @@ def _parse_rates(spec: str):
     return rates
 
 
+@_functools.lru_cache(maxsize=32)
+def _rate_fractions(spec: str):
+    """Parsed (up, down) pairs for a rate spec — cached: the loader calls
+    worst_stretch_len per record per pass, and Fraction construction per
+    call would put seconds of pure Python on the producer thread at
+    LibriSpeech scale."""
+    out = []
+    for r in _parse_rates(spec):
+        frac = _rational_speed(r)
+        out.append((frac.denominator, frac.numerator))  # (up, down)
+    return tuple(out)
+
+
 def worst_stretch_len(n: int, rates_spec: str) -> int:
     """Largest output sample count any configured rate can produce from an
     n-sample signal — the loader buckets training records by THIS length
     so the slowest rate's output still fits the bucket's padded buffer."""
     out = n
-    for r in _parse_rates(rates_spec):
-        frac = _rational_speed(r)
-        down, up = frac.numerator, frac.denominator
+    for up, down in _rate_fractions(rates_spec):
         out = max(out, (n * up) // down)
     return out
 

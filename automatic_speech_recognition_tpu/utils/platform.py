@@ -60,10 +60,11 @@ def exit_for_transient_errors(main_fn, argv=None):
         return main_fn(argv)
     except Exception as e:  # noqa: BLE001 — classify, then re-raise
         if is_transient_platform_error(e):
+            first_line = (str(e).splitlines() or [""])[0]
             logging.getLogger("platform").error(
                 "transient platform failure (%s: %s) — exiting %d so a "
                 "supervisor can retry", type(e).__name__,
-                str(e).splitlines()[0][:200], TRANSIENT_EXIT_CODE)
+                first_line[:200], TRANSIENT_EXIT_CODE)
             sys.exit(TRANSIENT_EXIT_CODE)
         raise
 

@@ -95,14 +95,16 @@ def main(argv=None):
             pad = cap - real_b
             audio = np.pad(audio, ((0, pad),) + ((0, 0),) * (audio.ndim - 1))
             audiolen = np.pad(audiolen, (0, pad), constant_values=1)
-        if cfg.audio_shards:
-            # raw-waveform shards: featurize in ONE extra device dispatch
-            # per batch (the padded sample width is a bucket boundary, so
-            # shape keys stay one-per-bucket); downstream is unchanged
-            audio, audiolen = featurize(jax.numpy.asarray(audio),
-                                        jax.numpy.asarray(audiolen))
-        dec_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
         try:
+            if cfg.audio_shards:
+                # raw-waveform shards: featurize in ONE extra device
+                # dispatch per batch (the padded sample width is a bucket
+                # boundary, so shape keys stay one-per-bucket); inside the
+                # try so a failed batch is SKIPPED like any other eval
+                # dispatch failure, not fatal
+                audio, audiolen = featurize(jax.numpy.asarray(audio),
+                                            jax.numpy.asarray(audiolen))
+            dec_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
             if cfg.eval_decoder == "ctc_greedy":
                 from automatic_speech_recognition_tpu.decoding.ctc import \
                     ctc_greedy_decode

@@ -83,7 +83,7 @@ def host_reference_beam(speller_params, cfg, enc_out, enc_len, dec_step,
             row = logits[i].copy()
             if (eos_margin is not None
                     and row[2] < max(v for k, v in enumerate(row)
-                                     if k not in (1, 2)) - eos_margin):
+                                     if k not in (0, 1, 2)) - eos_margin):
                 # gate BEFORE the per-beam top-64 prune (a blocked EOS
                 # must not consume an expansion slot), and measure the
                 # margin against the best non-control token — SOS's

@@ -35,8 +35,13 @@ for attempt in $(seq 1 "$max_attempts"); do
     *)  echo "[train_supervised] non-retryable exit $rc; stopping" >&2
         exit "$rc" ;;
   esac
-  echo "[train_supervised] sleeping ${backoff}s before retry" >&2
-  sleep "$backoff"
+  if [ "$attempt" -lt "$max_attempts" ]; then
+    echo "[train_supervised] sleeping ${backoff}s before retry" >&2
+    sleep "$backoff"
+    backoff=$((backoff * 2)); [ "$backoff" -gt 600 ] && backoff=600
+  fi
 done
+# NOT 17/18: an outer supervisor using the same contract must not see
+# exhaustion as "retry me" and relaunch a hopeless run forever
 echo "[train_supervised] gave up after $max_attempts attempts" >&2
-exit 17
+exit 19

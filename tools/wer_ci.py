@@ -69,10 +69,11 @@ def paired_bootstrap(stats_a: np.ndarray, stats_b: np.ndarray,
     rng = np.random.default_rng(seed)
     n = stats_a.shape[0]
     idx = rng.integers(0, n, size=(n_boot, n))
-    wa = stats_a[idx][:, :, 0].sum(1) / np.maximum(
-        stats_a[idx][:, :, 1].sum(1), 1.0)
-    wb = stats_b[idx][:, :, 0].sum(1) / np.maximum(
-        stats_b[idx][:, :, 1].sum(1), 1.0)
+    drawn_a = stats_a[idx]  # bind once: the gather is the big temporary
+    wa = drawn_a[:, :, 0].sum(1) / np.maximum(drawn_a[:, :, 1].sum(1), 1.0)
+    del drawn_a
+    drawn_b = stats_b[idx]
+    wb = drawn_b[:, :, 0].sum(1) / np.maximum(drawn_b[:, :, 1].sum(1), 1.0)
     return wb - wa, wa, wb
 
 
