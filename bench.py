@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import signal
 import sys
 import time
 
@@ -28,21 +27,28 @@ import numpy as np
 # Watchdog: on tunneled platforms even jax.devices() can hang when the
 # remote service is unavailable; a silent hang is the worst outcome for
 # an automated runner, so abort loudly after ASR_BENCH_TIMEOUT seconds
-# with no progress (0 disables).  The alarm is re-armed at every phase
-# boundary (heartbeat), so a legitimately slow remote compile only has to
-# finish within one window — the bound is per-phase stall, not total
-# wall time.
+# with no progress (0 disables).  Thread-based, NOT SIGALRM: a dead
+# tunnel wedges the host INSIDE a blocking C++ device call, and CPython
+# only runs signal handlers between bytecodes — which is exactly what
+# never happens there (utils/watchdog.py; observed live on a multi-hour
+# outage).  Re-armed at every phase boundary (heartbeat), so a
+# legitimately slow remote compile only has to finish within one
+# window — the bound is per-phase stall, not total wall time.
 _TIMEOUT_S = int(os.environ.get("ASR_BENCH_TIMEOUT", "1500"))
-if _TIMEOUT_S > 0 and hasattr(signal, "SIGALRM"):
-    def _abort(signum, frame):
-        print("bench.py: no progress for "
-              f"{_TIMEOUT_S}s; aborting", file=sys.stderr)
+if _TIMEOUT_S > 0:
+    from automatic_speech_recognition_tpu.utils.watchdog import StallWatchdog
+
+    def _abort(stalled_for):
+        print(f"bench.py: no progress for {stalled_for:.0f}s "
+              f"(timeout {_TIMEOUT_S}s); aborting", file=sys.stderr)
+        sys.stderr.flush()
         os._exit(3)
-    signal.signal(signal.SIGALRM, _abort)
-    signal.alarm(_TIMEOUT_S)
+
+    _wd = StallWatchdog(_TIMEOUT_S, what="bench phase",
+                        on_stall=_abort).start()
 
     def _heartbeat():
-        signal.alarm(_TIMEOUT_S)
+        _wd.pet()
 else:
     def _heartbeat():
         pass
