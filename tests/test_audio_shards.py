@@ -344,3 +344,20 @@ def test_online_volume_perturb():
     ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
     _, m = trainer.train_step(ts, batch, cfg, dec_steps=6)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_use_saved_config_propagates_audio_shards(tmp_path):
+    """audio_shards is a MODEL_FIELDS member: --use_saved_config eval of
+    an audio-shards model must read waveform shards (a stale False would
+    silently drop every record as over-length)."""
+    from automatic_speech_recognition_tpu.config import (
+        apply_saved_model_config, check_model_config, save_config_snapshot)
+
+    cfg_train = Config(**TINY).replace(audio_shards=True, vocab_size=0)
+    save_config_snapshot(cfg_train, str(tmp_path))
+    cfg_eval = Config(**TINY).replace(vocab_size=0)  # user forgot the flag
+    assert any("audio_shards" in m
+               for m in check_model_config(cfg_eval, str(tmp_path)))
+    fixed, overridden = apply_saved_model_config(cfg_eval, str(tmp_path))
+    assert fixed.audio_shards is True
+    assert any("audio_shards" in line for line in overridden)
