@@ -68,6 +68,13 @@ def main(argv=None):
             log.info("model flag from training snapshot: %s", line)
     log.info("parameters:\n%s", cfg.to_json())
 
+    # same failure model as training (docs/OPERATIONS.md): a dead tunnel
+    # wedges restore / compile / beam dispatches; abort with exit 17 so a
+    # supervisor can retry instead of hanging a study script forever
+    from automatic_speech_recognition_tpu.utils.watchdog import StallWatchdog
+    watchdog = (StallWatchdog(cfg.stall_timeout_s, what="decode progress")
+                .start() if cfg.stall_timeout_s > 0 else None)
+
     tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
     cfg = cfg.replace(vocab_size=tokenizer.get_vocab_size())
 
@@ -170,7 +177,11 @@ def main(argv=None):
             refs.append(ref)
         log.info("utt %d/%d, running WER: %.4f", count, len(feats),
                  error / max(N, 1))
+        if watchdog is not None:
+            watchdog.pet()
 
+    if watchdog is not None:
+        watchdog.stop()  # host-only file IO and WER math from here
     os.makedirs(cfg.log_dir, exist_ok=True)
     with open(os.path.join(cfg.log_dir, "decode_pred.txt"), "w") as f:
         f.write("\n".join(hyps))

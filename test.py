@@ -45,6 +45,13 @@ def main(argv=None):
         for line in overridden:
             log.info("model flag from training snapshot: %s", line)
 
+    # same failure model as training (docs/OPERATIONS.md): a dead tunnel
+    # wedges restore / compile / eval dispatches; abort with exit 17 so a
+    # supervisor can retry instead of hanging a study script forever
+    from automatic_speech_recognition_tpu.utils.watchdog import StallWatchdog
+    watchdog = (StallWatchdog(cfg.stall_timeout_s, what="eval progress")
+                .start() if cfg.stall_timeout_s > 0 else None)
+
     if cfg.eval_decoder not in ("attention", "ctc_greedy"):
         raise ValueError(f"unknown --eval_decoder {cfg.eval_decoder!r} "
                          "(want 'attention' or 'ctc_greedy')")
@@ -126,6 +133,8 @@ def main(argv=None):
                         real_b, e)  # test.py:105-111 (but accounted for)
             skipped += real_b
             continue
+        if watchdog is not None:
+            watchdog.pet()
         y_hat = np.asarray(jax.device_get(y_hat))[:real_b]
         for i in range(y_hat.shape[0]):
             hyps.append(convert_idx_to_string(y_hat[i],
@@ -134,6 +143,8 @@ def main(argv=None):
                                               tokenizer.id_to_token, cfg.unit))
         log.info("decoded %d utts", len(hyps))
 
+    if watchdog is not None:
+        watchdog.stop()  # host-only file IO and WER math from here
     os.makedirs(cfg.log_dir, exist_ok=True)
     with open(os.path.join(cfg.log_dir, "test_pred.txt"), "w") as f:
         f.write("\n".join(hyps))
