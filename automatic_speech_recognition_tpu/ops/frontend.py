@@ -223,9 +223,11 @@ def featurize_batch(sig, siglen, cfg):
     """In-dispatch featurization for cfg.audio_shards: a loader batch of
     raw waveforms (B, S, 1, 1) (or already-flat (B, S)) -> the feature
     batch the model consumes ((B, T, D, 3) cmvn / (B, T, D, 1) raw) plus
-    frame counts.  Called INSIDE the jitted train step / eval dispatch —
-    XLA fuses the DFT matmuls with the model's forward pass, so features
-    never exist in HBM between stages, let alone on disk.
+    frame counts.  Called INSIDE the jitted train step / eval dispatch:
+    featurization and the model run as ONE compiled program, so features
+    never cross the host boundary or touch disk (they do materialize in
+    HBM between the frontend and encoder ops — XLA fuses the elementwise
+    tail, not the matmul chain).
 
     Always the XLA path: the Pallas kernel is a custom call GSPMD cannot
     partition, and the train step is compiled over the device mesh."""

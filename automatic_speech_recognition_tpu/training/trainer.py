@@ -58,9 +58,9 @@ def _apply_update(ts: TrainState, batch, cfg: Config, dec_steps: int):
     Returns (new_ts, loss, logits, alphas, grads)."""
     if cfg.audio_shards:
         # raw-waveform batches: augmentation and the frontend run here,
-        # inside the same jitted program as fwd+bwd — XLA fuses the DFT
-        # matmuls into the step and features never hit HBM between
-        # stages (ops/frontend.py, ops/augmentation.py)
+        # inside the same jitted program as fwd+bwd — features never
+        # cross the host boundary or touch disk
+        # (ops/frontend.py, ops/augmentation.py)
         from ..ops import augmentation, frontend
         sig, siglen = batch[0], batch[1]
         if sig.ndim == 4:
