@@ -131,6 +131,14 @@ def test_audio_shards_multi_step_and_mesh(tmp_path, rng):
     _, m = step_fn(ts_sh, shard_batch(tuple(batch)))
     assert np.isfinite(float(m["loss"]))
 
+    # the full fused pipeline — lax.switch over dilated-conv resamplers +
+    # frontend + fwd+bwd — must also partition over the mesh
+    cfg_osp = cfg.replace(online_speed_perturb=True)
+    step_fn, ts_sh, shard_batch = trainer.make_mesh_train_step(
+        mesh, fresh(), tuple(batch), cfg_osp)
+    _, m = step_fn(ts_sh, shard_batch(tuple(batch)))
+    assert np.isfinite(float(m["loss"]))
+
 
 def test_audio_shards_cli_pipeline(tmp_path, rng, monkeypatch):
     """Full CLI path with --audio_shards True: preprocess (raw dumps) ->
