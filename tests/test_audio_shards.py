@@ -369,3 +369,44 @@ def test_use_saved_config_propagates_audio_shards(tmp_path):
     fixed, overridden = apply_saved_model_config(cfg_eval, str(tmp_path))
     assert fixed.audio_shards is True
     assert any("audio_shards" in line for line in overridden)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(up=st.integers(1, 12), down=st.integers(1, 12),
+       n=st.integers(300, 1500), seed=st.integers(0, 2**31 - 1))
+def test_device_resampler_matches_host_property(up, down, n, seed):
+    """Arbitrary rational rates, arbitrary lengths: device == host."""
+    from automatic_speech_recognition_tpu.ops import augmentation as aug
+
+    if up == down:
+        return
+    rng = np.random.default_rng(seed)
+    S_pad = max(n + 64, (n * up) // down + 64)
+    sig = np.zeros((1, S_pad), np.float32)
+    sig[0, :n] = (0.3 * rng.standard_normal(n)).astype(np.float32)
+    out, new_len = aug.resample_rational_device(
+        jnp.asarray(sig), jnp.asarray([n], np.int32), up, down)
+    n_out = (n * up) // down
+    assert int(new_len[0]) == n_out
+    ref = aug._resample_sinc(sig[0, :n], up, down, n_out)
+    np.testing.assert_allclose(np.asarray(out)[0, :n_out], ref,
+                               rtol=3e-4, atol=3e-5)
+
+
+@settings(max_examples=200, deadline=None)
+@given(frames=st.integers(0, 4000), samples=st.integers(0, 700000),
+       boundary=st.integers(1, 2000))
+def test_frame_sample_boundary_conversion_exact(frames, samples, boundary):
+    """The pipeline's sample-space conversion preserves bucket membership
+    EXACTLY: frames(samples) < b  <=>  samples < b*fstride + flen."""
+    flen, fstride = frame_params(16000, 25, 10)
+    n_frames = max((samples - flen) // fstride, 0)
+    assert (n_frames < boundary) == (samples < boundary * fstride + flen) \
+        or samples < flen  # degenerate sub-frame signals: frames == 0
+    # and padding to the converted boundary featurizes to EXACTLY b frames
+    padded = boundary * fstride + flen
+    assert (padded - flen) // fstride == boundary
