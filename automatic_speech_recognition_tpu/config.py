@@ -155,6 +155,15 @@ class Config:
     online_volume_perturb: bool = False
     online_volume_low: float = 0.8
     online_volume_high: float = 1.2
+    # beyond-reference, requires audio_shards: add noise on-device in the
+    # train step at a per-utterance random SNR drawn uniformly from
+    # [snr_low, snr_high] dB (kind: 'white' flat spectrum or 'pink' 1/f).
+    # SNR is measured over the valid samples only and padding stays
+    # zeroed, so frame counts and bucket membership are unchanged.
+    online_noise_perturb: bool = False
+    online_noise_snr_low: float = 5.0
+    online_noise_snr_high: float = 20.0
+    online_noise_kind: str = "white"
     # reference: preprocess.py:17
     sample_threshold: int = 30000
     # reference: train.py:107-108 hardcodes 2619 (its derived value for

@@ -248,6 +248,48 @@ def online_volume_perturb(rng, sig: jnp.ndarray, cfg):
     return jnp.clip(sig * gains, -1.0, 1.0)
 
 
+def online_noise_perturb(rng, sig: jnp.ndarray, siglen: jnp.ndarray, cfg):
+    """Per-UTTERANCE additive noise at a random SNR, on-device.
+
+    Beyond-reference robustness augmentation (the reference's only
+    augmentations are offline sox re-renders, utils/augmentation.py):
+    draws snr_db ~ U[online_noise_snr_low, online_noise_snr_high] per
+    utterance and adds 'white' (flat) or 'pink' (1/f, via an on-device
+    rFFT shaping) noise scaled so that, over the VALID samples,
+    P_signal / P_noise = 10^(snr_db/10).  Samples at or beyond siglen
+    stay exactly zero (padding must not grow energy: the frontend's
+    frame masking and bucket membership depend on siglen alone), and the
+    sum is clipped to [-1, 1] like every waveform entering the frontend.
+    Silent utterances (zero signal power) receive no noise.
+    """
+    lo, hi = cfg.online_noise_snr_low, cfg.online_noise_snr_high
+    if not lo <= hi:
+        raise ValueError(f"need snr_low <= snr_high, got [{lo}, {hi}]")
+    if cfg.online_noise_kind not in ("white", "pink"):
+        raise ValueError(f"online_noise_kind must be 'white' or 'pink', "
+                         f"got {cfg.online_noise_kind!r}")
+    B, S = sig.shape
+    k_noise, k_snr = jax.random.split(rng)
+    noise = jax.random.normal(k_noise, (B, S), jnp.float32)
+    if cfg.online_noise_kind == "pink":
+        # shape white noise to 1/f power: scale rFFT bin k by 1/sqrt(k)
+        spec = jnp.fft.rfft(noise, axis=-1)
+        k = jnp.arange(spec.shape[-1], dtype=jnp.float32)
+        spec = spec / jnp.sqrt(jnp.maximum(k, 1.0))
+        spec = spec.at[:, 0].set(0.0)  # no DC offset
+        noise = jnp.fft.irfft(spec, n=S, axis=-1).astype(jnp.float32)
+    mask = (jnp.arange(S)[None, :] < siglen[:, None]).astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)           # (B,)
+    p_sig = jnp.sum(sig * sig * mask, axis=-1) / n_valid
+    p_noise = jnp.sum(noise * noise * mask, axis=-1) / n_valid
+    snr_db = jax.random.uniform(k_snr, (B,), jnp.float32, lo, hi)
+    p_target = p_sig / 10.0 ** (snr_db / 10.0)
+    gain = jnp.sqrt(p_target / jnp.maximum(p_noise, 1e-20))
+    gain = jnp.where(p_sig > 0.0, gain, 0.0)
+    out = jnp.clip(sig + gain[:, None] * noise, -1.0, 1.0)
+    return out * mask
+
+
 # ===========================================================================
 # SpecAugment (on-device, beyond-reference capability)
 # ===========================================================================

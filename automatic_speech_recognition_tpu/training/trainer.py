@@ -74,6 +74,10 @@ def _apply_update(ts: TrainState, batch, cfg: Config, dec_steps: int):
         if cfg.online_volume_perturb:
             vol_rng = jax.random.fold_in(ts.rng, 0x701)
             sig = augmentation.online_volume_perturb(vol_rng, sig, cfg)
+        if cfg.online_noise_perturb:
+            noise_rng = jax.random.fold_in(ts.rng, 0x9015)
+            sig = augmentation.online_noise_perturb(noise_rng, sig,
+                                                    siglen, cfg)
         feat, featlen = frontend.featurize_batch(sig, siglen, cfg)
         batch = (feat, featlen, batch[2], batch[3])
     rng, step_rng = jax.random.split(ts.rng)

@@ -354,6 +354,96 @@ def test_online_volume_perturb():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_online_noise_perturb():
+    """Achieved per-utterance SNR matches the drawn range, padding stays
+    zero, silent rows stay silent, pink noise has a falling spectrum, and
+    the train-step wiring is finite."""
+    from automatic_speech_recognition_tpu.ops import augmentation as aug
+
+    rng = np.random.default_rng(11)
+    B, S = 4, 16000
+    sig = (0.2 * rng.standard_normal((B, S))).astype(np.float32)
+    siglen = np.array([16000, 12000, 9000, 16000], np.int32)
+    for i in range(B):
+        sig[i, siglen[i]:] = 0.0
+    sig[2, :] = 0.0  # silent utterance
+    cfg = Config(**TINY).replace(audio_shards=True,
+                                 online_noise_perturb=True,
+                                 online_noise_snr_low=10.0,
+                                 online_noise_snr_high=10.0)
+    out = np.asarray(aug.online_noise_perturb(
+        jax.random.PRNGKey(3), jnp.asarray(sig), jnp.asarray(siglen), cfg))
+    assert out.shape == sig.shape
+    for i in (0, 1, 3):
+        v = slice(0, siglen[i])
+        p_sig = np.mean(sig[i, v] ** 2)
+        p_noise = np.mean((out[i, v] - sig[i, v]) ** 2)
+        snr_db = 10 * np.log10(p_sig / p_noise)
+        assert abs(snr_db - 10.0) < 0.3, snr_db  # exact up to clipping
+        assert np.all(out[i, siglen[i]:] == 0.0)  # padding untouched
+    assert np.all(out[2] == 0.0)  # no noise added to silence
+    assert np.abs(out).max() <= 1.0
+
+    # pink: low-frequency band carries more added-noise energy than high
+    cfg_pink = cfg.replace(online_noise_kind="pink")
+    outp = np.asarray(aug.online_noise_perturb(
+        jax.random.PRNGKey(3), jnp.asarray(sig), jnp.asarray(siglen),
+        cfg_pink))
+    spec = np.abs(np.fft.rfft(outp[0] - sig[0])) ** 2
+    half = len(spec) // 2
+    assert spec[1:half].sum() > 4 * spec[half:].sum()
+
+    with pytest.raises(ValueError, match="snr_low"):
+        aug.online_noise_perturb(
+            jax.random.PRNGKey(0), jnp.asarray(sig), jnp.asarray(siglen),
+            cfg.replace(online_noise_snr_low=20.0,
+                        online_noise_snr_high=5.0))
+    with pytest.raises(ValueError, match="kind"):
+        aug.online_noise_perturb(
+            jax.random.PRNGKey(0), jnp.asarray(sig), jnp.asarray(siglen),
+            cfg.replace(online_noise_kind="brown"))
+
+    # wiring: one train step from waveforms with noise perturb on
+    flen, fstride = frame_params(16000, 25, 10)
+    S2 = flen + 30 * fstride
+    batch = (jnp.asarray(0.1 * rng.standard_normal((4, S2, 1, 1)),
+                         jnp.float32),
+             jnp.full((4,), S2, jnp.int32),
+             jnp.asarray(rng.integers(3, 29, (4, 6)), jnp.int32),
+             jnp.full((4,), 6, jnp.int32))
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    _, m = trainer.train_step(ts, batch, cfg, dec_steps=6)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_corpus_degrader():
+    """tools/synth_corpus.make_degrader: SNR within the band, reverb
+    smears energy, peak normalization respected."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "synth_corpus", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "synth_corpus.py"))
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+
+    rng = np.random.default_rng(5)
+    sig = (0.3 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)
+           ).astype(np.float64)
+    deg = sc.make_degrader("15,15", "white", reverb_p=0.0)
+    out = deg(sig.copy(), rng)
+    snr = 10 * np.log10(np.mean(sig ** 2) / np.mean((out - sig) ** 2))
+    assert abs(snr - 15.0) < 0.5, snr
+    assert np.abs(out).max() <= 0.99 + 1e-9
+
+    # reverb: a click grows a decaying tail
+    click = np.zeros(8000)
+    click[100] = 0.9
+    degr = sc.make_degrader("", "white", reverb_p=1.0)
+    outr = degr(click.copy(), np.random.default_rng(1))
+    assert np.sum(outr[200:] ** 2) > 1e-4  # energy smeared past the click
+    assert sc.make_degrader("", "white", 0.0) is None
+
+
 def test_use_saved_config_propagates_audio_shards(tmp_path):
     """audio_shards is a MODEL_FIELDS member: --use_saved_config eval of
     an audio-shards model must read waveform shards (a stale False would

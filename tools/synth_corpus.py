@@ -348,6 +348,62 @@ def text_to_phones(text: str) -> list:
     return phones
 
 
+def _host_noise(rng: np.random.Generator, n: int, kind: str) -> np.ndarray:
+    """Unit-power noise vector: 'white' (flat) or 'pink' (1/f shaped)."""
+    x = rng.standard_normal(n).astype(np.float64)
+    if kind == "pink":
+        spec = np.fft.rfft(x)
+        k = np.arange(spec.shape[0], dtype=np.float64)
+        spec /= np.sqrt(np.maximum(k, 1.0))
+        spec[0] = 0.0
+        x = np.fft.irfft(spec, n=n)
+    return x / max(np.sqrt(np.mean(x * x)), 1e-12)
+
+
+def make_degrader(noise_snr: str, noise_kind: str, reverb_p: float):
+    """Acoustic degradation for the rendered waveform: optional random
+    reverberation (exponential-decay noise impulse response, RT60 drawn
+    from [0.15, 0.5] s) then additive noise at a per-utterance SNR drawn
+    uniformly from the given dB range.  Returns None when disabled.
+
+    This makes the synthesized corpus acoustically hard in the way
+    recorded speech is (room + channel + background energy), so WERs on
+    it sit in a regime where decoder/augmentation choices matter.
+    """
+    if not noise_snr and reverb_p <= 0:
+        return None
+    snr_range = None
+    if noise_snr:
+        parts = [float(v) for v in noise_snr.split(",")]
+        snr_range = (parts[0], parts[-1])
+        if snr_range[0] > snr_range[1]:
+            raise SystemExit(f"--noise_snr low > high: {noise_snr}")
+
+    def degrade(sig: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if reverb_p > 0 and rng.random() < reverb_p:
+            rt60 = rng.uniform(0.15, 0.5)
+            L = int(0.6 * rt60 * fsyn.FS)
+            t = np.arange(L) / fsyn.FS
+            ir = rng.standard_normal(L) * np.exp(-3.0 * np.log(10) * t / rt60)
+            ir[0] = 1.0
+            ir /= np.sqrt(np.sum(ir * ir))
+            n = len(sig) + L - 1
+            sig = np.fft.irfft(np.fft.rfft(sig, n) * np.fft.rfft(ir, n),
+                               n)[:len(sig)]
+        if snr_range is not None:
+            p_sig = float(np.mean(sig * sig))
+            if p_sig > 0:
+                snr_db = rng.uniform(*snr_range)
+                noise = _host_noise(rng, len(sig), noise_kind)
+                sig = sig + np.sqrt(p_sig / 10.0 ** (snr_db / 10.0)) * noise
+        peak = float(np.abs(sig).max())
+        if peak > 0.99:
+            sig = sig * (0.99 / peak)
+        return sig
+
+    return degrade
+
+
 def write_flac(path: str, sig: np.ndarray) -> None:
     from automatic_speech_recognition_tpu.data.flac_encode import encode_flac
     pcm = np.clip(np.round(sig * 32767.0), -32768, 32767).astype(np.int32)
@@ -357,7 +413,8 @@ def write_flac(path: str, sig: np.ndarray) -> None:
 
 
 def synth_split(out_dir: str, split: str, speakers, n_utts: int,
-                seed: int, utts_per_chapter: int = 50) -> None:
+                seed: int, utts_per_chapter: int = 50,
+                degrade=None) -> None:
     if os.path.exists(os.path.join(out_dir, split)):
         raise SystemExit(
             f"{out_dir}/{split} already exists — transcripts are written "
@@ -376,6 +433,8 @@ def synth_split(out_dir: str, split: str, speakers, n_utts: int,
             text = make_sentence(rng)
             uid = f"{spk_id}-{chap}-{done:04d}"
             sig = fsyn.synth_phones(text_to_phones(text), spk, rng)
+            if degrade is not None:
+                sig = degrade(sig, rng)
             write_flac(os.path.join(dd, uid + ".flac"), sig)
             lines.append(f"{uid} {text}")
             done += 1
@@ -403,7 +462,16 @@ def main(argv=None):
     ap.add_argument("--pseudo_seed", type=int, default=12345,
                     help="pseudo-lexicon seed, independent of --seed so "
                          "all splits share one lexicon")
+    ap.add_argument("--noise_snr", default="",
+                    help="'lo,hi' dB range: add noise to every utterance "
+                         "at a per-utterance random SNR (empty = clean)")
+    ap.add_argument("--noise_kind", default="pink",
+                    choices=["white", "pink"])
+    ap.add_argument("--reverb_p", type=float, default=0.0,
+                    help="probability of random reverberation "
+                         "(RT60 ~ U[0.15, 0.5] s) per utterance")
     args = ap.parse_args(argv)
+    degrade = make_degrader(args.noise_snr, args.noise_kind, args.reverb_p)
 
     if args.pseudo_words:
         lex = install_pseudo_lexicon(args.pseudo_words, args.pseudo_seed)
@@ -420,9 +488,12 @@ def main(argv=None):
     train_spk = mk(100, args.train_speakers)
     dev_spk = mk(500, args.eval_speakers)      # disjoint from train
     test_spk = mk(600, args.eval_speakers)
-    synth_split(args.out, "train", train_spk, args.train_utts, args.seed + 1)
-    synth_split(args.out, "dev", dev_spk, args.dev_utts, args.seed + 2)
-    synth_split(args.out, "test", test_spk, args.test_utts, args.seed + 3)
+    synth_split(args.out, "train", train_spk, args.train_utts, args.seed + 1,
+                degrade=degrade)
+    synth_split(args.out, "dev", dev_spk, args.dev_utts, args.seed + 2,
+                degrade=degrade)
+    synth_split(args.out, "test", test_spk, args.test_utts, args.seed + 3,
+                degrade=degrade)
     print("corpus complete:", args.out)
 
 

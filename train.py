@@ -60,8 +60,8 @@ def main(argv=None):
     watchdog = (StallWatchdog(cfg.stall_timeout_s, what="startup").start()
                 if cfg.stall_timeout_s > 0 else None)
     maybe_initialize()  # multi-host TPU pods; no-op single process
-    if ((cfg.online_speed_perturb or cfg.online_volume_perturb)
-            and not cfg.audio_shards):
+    if ((cfg.online_speed_perturb or cfg.online_volume_perturb
+         or cfg.online_noise_perturb) and not cfg.audio_shards):
         raise ValueError("online waveform augmentation needs "
                          "--audio_shards True (the waveform must be "
                          "inside the train step)")
