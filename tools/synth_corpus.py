@@ -27,6 +27,7 @@ import argparse
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -434,7 +435,12 @@ def synth_split(out_dir: str, split: str, speakers, n_utts: int,
             uid = f"{spk_id}-{chap}-{done:04d}"
             sig = fsyn.synth_phones(text_to_phones(text), spk, rng)
             if degrade is not None:
-                sig = degrade(sig, rng)
+                # independent per-utterance stream (seeded off the uid,
+                # not the sentence/speaker rng): a clean and a degraded
+                # corpus generated from the same --seed contain the SAME
+                # utterances, so eval WERs pair exactly (tools/wer_ci.py)
+                sig = degrade(sig, np.random.default_rng(
+                    [seed, zlib.crc32(uid.encode())]))
             write_flac(os.path.join(dd, uid + ".flac"), sig)
             lines.append(f"{uid} {text}")
             done += 1
