@@ -127,6 +127,69 @@ def speed_augment_all(signals: Sequence[np.ndarray],
     return [speed_perturb(s, speed) for s in signals]
 
 
+def host_noise(rng: np.random.Generator, n: int, kind: str) -> np.ndarray:
+    """Unit-power noise vector: 'white' (flat) or 'pink' (1/f shaped)."""
+    if kind not in ("white", "pink"):
+        raise ValueError(f"noise kind must be 'white' or 'pink', got {kind!r}")
+    x = rng.standard_normal(n).astype(np.float64)
+    if kind == "pink":
+        spec = np.fft.rfft(x)
+        k = np.arange(spec.shape[0], dtype=np.float64)
+        spec /= np.sqrt(np.maximum(k, 1.0))
+        spec[0] = 0.0
+        x = np.fft.irfft(spec, n=n)
+    return x / max(np.sqrt(np.mean(x * x)), 1e-12)
+
+
+def make_degrader(noise_snr: str, noise_kind: str, reverb_p: float,
+                  sample_rate: int = 16000):
+    """Host-side acoustic degradation for corpus tooling: optional random
+    reverberation (exponential-decay noise impulse response, RT60 drawn
+    from [0.15, 0.5] s) then additive white/pink noise at a per-utterance
+    SNR drawn uniformly from the 'lo,hi' dB range (empty = no noise).
+    Returns `degrade(sig, rng) -> sig` or None when fully disabled.
+
+    Used by tools/synth_corpus.py (degrade while synthesizing) and
+    tools/degrade_corpus.py (degrade an existing LibriSpeech-layout
+    corpus); the on-device training-time counterpart is
+    online_noise_perturb.  No reference counterpart (the reference's
+    augmentations are speed/volume only, utils/augmentation.py).
+    """
+    if not noise_snr and reverb_p <= 0:
+        return None
+    snr_range = None
+    if noise_snr:
+        parts = [float(v) for v in str(noise_snr).split(",")]
+        snr_range = (parts[0], parts[-1])
+        if snr_range[0] > snr_range[1]:
+            raise ValueError(f"noise SNR low > high: {noise_snr}")
+        host_noise(np.random.default_rng(0), 8, noise_kind)  # validate kind
+
+    def degrade(sig: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if reverb_p > 0 and rng.random() < reverb_p:
+            rt60 = rng.uniform(0.15, 0.5)
+            L = int(0.6 * rt60 * sample_rate)
+            t = np.arange(L) / sample_rate
+            ir = rng.standard_normal(L) * np.exp(-3.0 * np.log(10) * t / rt60)
+            ir[0] = 1.0
+            ir /= np.sqrt(np.sum(ir * ir))
+            n = len(sig) + L - 1
+            sig = np.fft.irfft(np.fft.rfft(sig, n) * np.fft.rfft(ir, n),
+                               n)[:len(sig)]
+        if snr_range is not None:
+            p_sig = float(np.mean(sig * sig))
+            if p_sig > 0:
+                snr_db = rng.uniform(*snr_range)
+                noise = host_noise(rng, len(sig), noise_kind)
+                sig = sig + np.sqrt(p_sig / 10.0 ** (snr_db / 10.0)) * noise
+        peak = float(np.abs(sig).max())
+        if peak > 0.99:
+            sig = sig * (0.99 / peak)
+        return sig
+
+    return degrade
+
+
 # ===========================================================================
 # On-device online speed perturbation (beyond-reference capability)
 # ===========================================================================

@@ -349,60 +349,16 @@ def text_to_phones(text: str) -> list:
     return phones
 
 
-def _host_noise(rng: np.random.Generator, n: int, kind: str) -> np.ndarray:
-    """Unit-power noise vector: 'white' (flat) or 'pink' (1/f shaped)."""
-    x = rng.standard_normal(n).astype(np.float64)
-    if kind == "pink":
-        spec = np.fft.rfft(x)
-        k = np.arange(spec.shape[0], dtype=np.float64)
-        spec /= np.sqrt(np.maximum(k, 1.0))
-        spec[0] = 0.0
-        x = np.fft.irfft(spec, n=n)
-    return x / max(np.sqrt(np.mean(x * x)), 1e-12)
-
-
 def make_degrader(noise_snr: str, noise_kind: str, reverb_p: float):
-    """Acoustic degradation for the rendered waveform: optional random
-    reverberation (exponential-decay noise impulse response, RT60 drawn
-    from [0.15, 0.5] s) then additive noise at a per-utterance SNR drawn
-    uniformly from the given dB range.  Returns None when disabled.
-
-    This makes the synthesized corpus acoustically hard in the way
-    recorded speech is (room + channel + background energy), so WERs on
-    it sit in a regime where decoder/augmentation choices matter.
-    """
-    if not noise_snr and reverb_p <= 0:
-        return None
-    snr_range = None
-    if noise_snr:
-        parts = [float(v) for v in noise_snr.split(",")]
-        snr_range = (parts[0], parts[-1])
-        if snr_range[0] > snr_range[1]:
-            raise SystemExit(f"--noise_snr low > high: {noise_snr}")
-
-    def degrade(sig: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        if reverb_p > 0 and rng.random() < reverb_p:
-            rt60 = rng.uniform(0.15, 0.5)
-            L = int(0.6 * rt60 * fsyn.FS)
-            t = np.arange(L) / fsyn.FS
-            ir = rng.standard_normal(L) * np.exp(-3.0 * np.log(10) * t / rt60)
-            ir[0] = 1.0
-            ir /= np.sqrt(np.sum(ir * ir))
-            n = len(sig) + L - 1
-            sig = np.fft.irfft(np.fft.rfft(sig, n) * np.fft.rfft(ir, n),
-                               n)[:len(sig)]
-        if snr_range is not None:
-            p_sig = float(np.mean(sig * sig))
-            if p_sig > 0:
-                snr_db = rng.uniform(*snr_range)
-                noise = _host_noise(rng, len(sig), noise_kind)
-                sig = sig + np.sqrt(p_sig / 10.0 ** (snr_db / 10.0)) * noise
-        peak = float(np.abs(sig).max())
-        if peak > 0.99:
-            sig = sig * (0.99 / peak)
-        return sig
-
-    return degrade
+    """Acoustic degradation (reverb + additive noise) making the corpus
+    hard in the way recorded speech is; shared implementation in
+    ops/augmentation.make_degrader (also used by tools/degrade_corpus.py)."""
+    from automatic_speech_recognition_tpu.ops.augmentation import (
+        make_degrader as _mk)
+    try:
+        return _mk(noise_snr, noise_kind, reverb_p, sample_rate=fsyn.FS)
+    except ValueError as e:
+        raise SystemExit(f"--noise_snr/--noise_kind: {e}")
 
 
 def write_flac(path: str, sig: np.ndarray) -> None:
