@@ -249,8 +249,11 @@ class Config:
     # Fused whole-utterance Pallas frontend kernel (overlap-reuse DFT +
     # mel-support pruning + in-VMEM CMVN/deltas): measured 5.38 ms vs
     # 7.56 ms for the XLA path on TPU v5e (128 x 10 s batch), max abs err
-    # 7.7e-5.  Default on; automatically falls back to the XLA path on
-    # non-TPU backends and for >MAX_FRAMES utterances (VMEM budget).
+    # 7.7e-5.  Default on; falls back to the XLA path on non-TPU
+    # backends.  Utterances beyond the whole-utterance VMEM budget
+    # (>1710 frames) run the same kernel over time chunks with
+    # whole-utterance CMVN/deltas in XLA (pallas_frontend.
+    # fused_frontend_chunked) — no length limit.
     use_pallas: bool = True
     fft_length: int = 512                 # speechpy fixes fft_length=512
     num_mel_filters: int = 40             # speechpy mfcc default num_filters=40

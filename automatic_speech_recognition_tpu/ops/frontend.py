@@ -154,21 +154,32 @@ def extract_features(audio: jnp.ndarray, audiolen: jnp.ndarray, *,
 
     if use_pallas:
         from . import pallas_frontend as pk
-        if not pk.suitable(frames_max):
-            use_pallas = False  # whole-utterance VMEM budget exceeded
-    if use_pallas:
         interpret = jax.default_backend() != "tpu"
-        feat = pk.fused_frontend(
-            audio.astype(jnp.float32), featlen, flen=flen, fstride=fstride,
+        if pk.suitable(frames_max):
+            feat = pk.fused_frontend(
+                audio.astype(jnp.float32), featlen, flen=flen,
+                fstride=fstride, fft_length=fft_length, feat_dim=feat_dim,
+                feat_type=feat_type, num_mel_filters=num_mel_filters,
+                sample_rate=sample_rate, frames_max=frames_max,
+                apply_cmvn=apply_cmvn, interpret=interpret)
+            if apply_cmvn:
+                # kernel emits (B, T, 3D) = [static | d1 | d2] along lanes
+                B, T = feat.shape[:2]
+                feat = jnp.transpose(feat.reshape(B, T, 3, feat_dim),
+                                     (0, 1, 3, 2))
+            return feat, featlen
+        # beyond the whole-utterance VMEM budget: same kernel over time
+        # chunks for the matmul stages, whole-utterance CMVN/deltas in XLA
+        feat = pk.fused_frontend_chunked(
+            audio.astype(jnp.float32), flen=flen, fstride=fstride,
             fft_length=fft_length, feat_dim=feat_dim, feat_type=feat_type,
             num_mel_filters=num_mel_filters, sample_rate=sample_rate,
-            frames_max=frames_max, apply_cmvn=apply_cmvn,
-            interpret=interpret)
+            frames_max=frames_max, interpret=interpret)
         if apply_cmvn:
-            # kernel emits (B, T, 3D) = [static | d1 | d2] along lanes
-            B, T = feat.shape[:2]
-            feat = jnp.transpose(feat.reshape(B, T, 3, feat_dim),
-                                 (0, 1, 3, 2))
+            feat = masked_cmvn(feat, featlen)
+            feat = stack_derivatives(feat)
+            mask = (jnp.arange(frames_max)[None, :] < featlen[:, None])
+            feat = feat * mask[:, :, None, None].astype(feat.dtype)
         return feat, featlen
 
     frames = frame_signal(audio.astype(jnp.float32), flen, fstride, frames_max)

@@ -29,10 +29,11 @@ Design (one grid step = one utterance, everything VMEM-resident):
     (ops/frontend.py) materializes the 2.5x-inflated frame matrix and
     the intermediate feature tensors in HBM between kernels.
 
-Falls back to the XLA path (see ops/frontend.extract_features) when the
-static frame budget exceeds MAX_FRAMES (VMEM) — LibriSpeech train (1710
-frames max, create_tfrecord.py:28) fits; only >20.5 s eval batches fall
-back.
+Static frame budgets up to MAX_FRAMES (= 1710, exactly the reference's
+training MAXLEN, create_tfrecord.py:28) run fully fused per utterance;
+longer utterances (e.g. 36 s eval buckets) run the SAME kernel over time
+chunks with whole-utterance CMVN/deltas in XLA (fused_frontend_chunked;
+routed by ops/frontend.extract_features) — no length limit.
 
 Reference semantics preserved bit-close (tests/test_pallas_frontend.py,
 tests/test_frontend_golden.py): 1/N power scaling, zero->eps handling,
@@ -53,7 +54,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPS_ZERO = float(np.finfo(np.float64).eps)
 EPS_CMVN = 2.0 ** -30
-MAX_FRAMES = 2048        # whole-utterance VMEM budget (~6 MB at 128 lanes)
+# Whole-utterance VMEM budget.  Empirically validated on TPU v5e against
+# the 16 MB scoped-VMEM limit: T=1710 (the reference's training MAXLEN,
+# create_tfrecord.py:28) compiles and runs; T=1800 is rejected by the
+# compiler (live set ~20 MB).  Longer utterances chunk (see
+# fused_frontend_chunked) with CHUNK_FRAMES sized well under the limit.
+MAX_FRAMES = 1710
+CHUNK_FRAMES = 1024
 _LANE = 128
 
 
@@ -251,10 +258,49 @@ def fused_frontend(audio: jnp.ndarray, featlen: jnp.ndarray, *, flen: int,
 
 
 def suitable(frames_max: int) -> bool:
-    """Whether the fused whole-utterance kernel applies (VMEM budget).
-    The non-TPU fallback is decided by the caller (extract_features_cfg
+    """Whether the fully fused whole-utterance kernel applies (VMEM
+    budget).  Longer utterances use fused_frontend_chunked: same kernel
+    over time chunks + XLA CMVN/deltas (ops/frontend.py routes).  The
+    non-TPU fallback is decided by the caller (extract_features_cfg
     keeps CPU production paths on XLA; tests force interpret mode)."""
     return frames_max <= MAX_FRAMES
+
+
+def fused_frontend_chunked(audio: jnp.ndarray, *, flen: int, fstride: int,
+                           fft_length: int, feat_dim: int, feat_type: str,
+                           num_mel_filters: int, sample_rate: int,
+                           frames_max: int, interpret: bool = False):
+    """Raw features for utterances beyond the whole-utterance VMEM budget.
+
+    The signal is cut into nc = ceil(frames_max / CHUNK_FRAMES) chunks of
+    Tc frames; chunk i's sample window [i*Tc*fstride, i*Tc*fstride + Sc)
+    covers its Tc frames exactly (frame t lands at the same samples as in
+    the unchunked layout, so the math is IDENTICAL — only flen - fstride
+    boundary samples are read twice).  Each chunk runs the fused kernel
+    with apply_cmvn=False on a (B*nc,) grid; per-utterance CMVN and the
+    derivative stack — which need whole-utterance statistics but are
+    cheap bandwidth-bound work — run in XLA afterwards (the caller,
+    ops/frontend.extract_features, reuses its masked_cmvn path).
+
+    Returns (B, frames_max, feat_dim) raw features.
+    """
+    B, S = audio.shape
+    nc = _cdiv(frames_max, CHUNK_FRAMES)
+    Tc = _round_up(_cdiv(frames_max, nc), 8)
+    Sc = (Tc - 1) * fstride + flen
+    starts = np.arange(nc) * Tc * fstride
+    need = int(starts[-1] + Sc)
+    audio = jnp.pad(audio.astype(jnp.float32),
+                    ((0, 0), (0, max(0, need - S))))
+    idx = starts[:, None] + np.arange(Sc)[None, :]          # (nc, Sc)
+    chunks = audio[:, idx].reshape(B * nc, Sc)
+    feat = fused_frontend(
+        chunks, jnp.zeros((B * nc,), jnp.int32), flen=flen,
+        fstride=fstride, fft_length=fft_length, feat_dim=feat_dim,
+        feat_type=feat_type, num_mel_filters=num_mel_filters,
+        sample_rate=sample_rate, frames_max=Tc, apply_cmvn=False,
+        interpret=interpret)                                 # (B*nc, Tc, D)
+    return feat.reshape(B, nc * Tc, feat_dim)[:, :frames_max]
 
 
 # Backwards-compatible name: the tiled raw-feature kernel was replaced by
