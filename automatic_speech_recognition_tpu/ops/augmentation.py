@@ -311,6 +311,22 @@ def online_volume_perturb(rng, sig: jnp.ndarray, cfg):
     return jnp.clip(sig * gains, -1.0, 1.0)
 
 
+@_functools.lru_cache(maxsize=1)
+def _pink_fir(num_taps: int = 513, design_len: int = 4096) -> np.ndarray:
+    """Zero-phase FIR approximating a 1/sqrt(f) amplitude (1/f power)
+    response, frequency-sampled on a design_len grid, Hamming-windowed to
+    num_taps, unit-power-normalized.  DC is zeroed."""
+    assert num_taps % 2 == 1
+    f = np.fft.rfftfreq(design_len)
+    amp = np.zeros_like(f)
+    amp[1:] = 1.0 / np.sqrt(np.maximum(f[1:], f[1]))
+    ir = np.fft.irfft(amp)                       # zero-phase, wraps around
+    ir = np.roll(ir, design_len // 2)            # center the peak
+    mid = design_len // 2
+    h = ir[mid - num_taps // 2: mid + num_taps // 2 + 1] * np.hamming(num_taps)
+    return (h / np.sqrt(np.sum(h * h))).astype(np.float32)
+
+
 def online_noise_perturb(rng, sig: jnp.ndarray, siglen: jnp.ndarray, cfg):
     """Per-UTTERANCE additive noise at a random SNR, on-device.
 
@@ -335,12 +351,19 @@ def online_noise_perturb(rng, sig: jnp.ndarray, siglen: jnp.ndarray, cfg):
     k_noise, k_snr = jax.random.split(rng)
     noise = jax.random.normal(k_noise, (B, S), jnp.float32)
     if cfg.online_noise_kind == "pink":
-        # shape white noise to 1/f power: scale rFFT bin k by 1/sqrt(k)
-        spec = jnp.fft.rfft(noise, axis=-1)
-        k = jnp.arange(spec.shape[-1], dtype=jnp.float32)
-        spec = spec / jnp.sqrt(jnp.maximum(k, 1.0))
-        spec = spec.at[:, 0].set(0.0)  # no DC offset
-        noise = jnp.fft.irfft(spec, n=S, axis=-1).astype(jnp.float32)
+        # shape white noise to ~1/f power with a FIR convolution.  NOT an
+        # rFFT: XLA:TPU lowers FFTs of non-power-of-two lengths (a
+        # 1710-frame bucket is 274,000 samples = 2^4*5^3*137) to a DENSE
+        # DFT matmul — a (S, S) float32 intermediate, ~300 GB.  The
+        # 513-tap filter is exact down to ~f_s/500 and is one strided
+        # conv on the MXU; per-utterance SNR stays exact regardless
+        # because noise power is measured after shaping.
+        h = jnp.asarray(_pink_fir())
+        K = h.shape[0]
+        noise = jax.lax.conv_general_dilated(
+            noise[:, None, :], h.reshape(1, 1, -1), window_strides=(1,),
+            padding=[(K // 2, K // 2)],
+            dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
     mask = (jnp.arange(S)[None, :] < siglen[:, None]).astype(jnp.float32)
     n_valid = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)           # (B,)
     p_sig = jnp.sum(sig * sig * mask, axis=-1) / n_valid
