@@ -160,6 +160,9 @@ def make_degrader(noise_snr: str, noise_kind: str, reverb_p: float,
     snr_range = None
     if noise_snr:
         parts = [float(v) for v in str(noise_snr).split(",")]
+        if len(parts) not in (1, 2):
+            raise ValueError(
+                f"noise SNR must be 'db' or 'lo,hi', got {noise_snr!r}")
         snr_range = (parts[0], parts[-1])
         if snr_range[0] > snr_range[1]:
             raise ValueError(f"noise SNR low > high: {noise_snr}")

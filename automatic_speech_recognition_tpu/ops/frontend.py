@@ -169,18 +169,15 @@ def extract_features(audio: jnp.ndarray, audiolen: jnp.ndarray, *,
                                      (0, 1, 3, 2))
             return feat, featlen
         # beyond the whole-utterance VMEM budget: same kernel over time
-        # chunks for the matmul stages, whole-utterance CMVN/deltas in XLA
+        # chunks for the matmul stages, then fall through to the shared
+        # whole-utterance CMVN/deltas tail below (one implementation for
+        # the chunked-Pallas and XLA paths)
         feat = pk.fused_frontend_chunked(
             audio.astype(jnp.float32), flen=flen, fstride=fstride,
             fft_length=fft_length, feat_dim=feat_dim, feat_type=feat_type,
             num_mel_filters=num_mel_filters, sample_rate=sample_rate,
             frames_max=frames_max, interpret=interpret)
-        if apply_cmvn:
-            feat = masked_cmvn(feat, featlen)
-            feat = stack_derivatives(feat)
-            mask = (jnp.arange(frames_max)[None, :] < featlen[:, None])
-            feat = feat * mask[:, :, None, None].astype(feat.dtype)
-        return feat, featlen
+        return _cmvn_tail(feat, featlen, frames_max, apply_cmvn)
 
     frames = frame_signal(audio.astype(jnp.float32), flen, fstride, frames_max)
     ps = _power_spectrum(frames, fft_length, use_fft)            # (B,T,K)
@@ -206,6 +203,12 @@ def extract_features(audio: jnp.ndarray, audiolen: jnp.ndarray, *,
     else:
         raise ValueError(f"unknown feat_type: {feat_type}")
 
+    return _cmvn_tail(feat, featlen, frames_max, apply_cmvn)
+
+
+def _cmvn_tail(feat, featlen, frames_max: int, apply_cmvn: bool):
+    """Shared normalization tail: per-utterance CMVN + derivative stack
+    + padded-frame zeroing (or the raw features verbatim)."""
     if apply_cmvn:
         feat = masked_cmvn(feat, featlen)
         feat = stack_derivatives(feat)

@@ -49,7 +49,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
-    degrade = make_degrader(args.noise_snr, args.noise_kind, args.reverb_p)
+    try:
+        degrade = make_degrader(args.noise_snr, args.noise_kind,
+                                args.reverb_p)
+    except ValueError as e:
+        raise SystemExit(f"--noise_snr/--noise_kind: {e}")
     if degrade is None:
         raise SystemExit("nothing to do: pass --noise_snr and/or --reverb_p")
     flacs = sorted(glob.glob(os.path.join(args.in_dir, "**", "*.flac"),
@@ -60,7 +64,9 @@ def main(argv=None):
         raise SystemExit(f"no .flac under {args.in_dir}")
 
     t0 = time.time()
-    degraders = {}  # sample_rate -> degrade fn (reverb IR scales with fs)
+    # sample_rate -> degrade fn (the reverb IR scales with fs); seeded
+    # with the validated 16 kHz instance built above
+    degraders = {16000: degrade}
     for i, src in enumerate(flacs):
         rel = os.path.relpath(src, args.in_dir)
         dst = os.path.join(args.out_dir, rel)
