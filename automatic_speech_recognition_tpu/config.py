@@ -164,6 +164,13 @@ class Config:
     online_noise_snr_low: float = 5.0
     online_noise_snr_high: float = 20.0
     online_noise_kind: str = "white"
+    # probability that a given utterance is noised at all.  1.0 noises
+    # everything; the robust study (benchmarks/WER_SYNTH.md) measured
+    # that always-on noise makes CLEAN speech out-of-domain (arm B:
+    # clean dev WER 0.002 -> 0.276), so mixed-condition training
+    # (p < 1 keeps clean utterances in the training distribution) is
+    # the recommended setting when clean accuracy still matters.
+    online_noise_p: float = 1.0
     # reference: preprocess.py:17
     sample_threshold: int = 30000
     # reference: train.py:107-108 hardcodes 2619 (its derived value for

@@ -343,6 +343,12 @@ def online_noise_perturb(rng, sig: jnp.ndarray, siglen: jnp.ndarray, cfg):
     frame masking and bucket membership depend on siglen alone), and the
     sum is clipped to [-1, 1] like every waveform entering the frontend.
     Silent utterances (zero signal power) receive no noise.
+
+    Each utterance is noised with probability online_noise_p (an
+    independent per-utterance coin); utterances that miss the coin pass
+    through exactly.  p < 1 trains a mixed-condition model: always-on
+    noise (p = 1) makes clean speech out-of-domain, measured in the
+    robustness study (benchmarks/WER_SYNTH.md).
     """
     lo, hi = cfg.online_noise_snr_low, cfg.online_noise_snr_high
     if not lo <= hi:
@@ -350,8 +356,11 @@ def online_noise_perturb(rng, sig: jnp.ndarray, siglen: jnp.ndarray, cfg):
     if cfg.online_noise_kind not in ("white", "pink"):
         raise ValueError(f"online_noise_kind must be 'white' or 'pink', "
                          f"got {cfg.online_noise_kind!r}")
+    p = cfg.online_noise_p
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"need 0 <= online_noise_p <= 1, got {p}")
     B, S = sig.shape
-    k_noise, k_snr = jax.random.split(rng)
+    k_noise, k_snr, k_coin = jax.random.split(rng, 3)
     noise = jax.random.normal(k_noise, (B, S), jnp.float32)
     if cfg.online_noise_kind == "pink":
         # shape white noise to ~1/f power with a FIR convolution.  NOT an
@@ -375,6 +384,9 @@ def online_noise_perturb(rng, sig: jnp.ndarray, siglen: jnp.ndarray, cfg):
     p_target = p_sig / 10.0 ** (snr_db / 10.0)
     gain = jnp.sqrt(p_target / jnp.maximum(p_noise, 1e-20))
     gain = jnp.where(p_sig > 0.0, gain, 0.0)
+    if p < 1.0:  # static: the coin (and its RNG draw) compiles out at p=1
+        coin = jax.random.bernoulli(k_coin, p, (B,))
+        gain = jnp.where(coin, gain, 0.0)
     out = jnp.clip(sig + gain[:, None] * noise, -1.0, 1.0)
     return out * mask
 

@@ -393,6 +393,32 @@ def test_online_noise_perturb():
     half = len(spec) // 2
     assert spec[1:half].sum() > 4 * spec[half:].sum()
 
+    # online_noise_p: per-utterance coin.  p=0 is an exact passthrough;
+    # p=0.5 leaves some rows bit-identical and noises the rest at the
+    # drawn SNR (mixed-condition training, benchmarks/WER_SYNTH.md).
+    out0 = np.asarray(aug.online_noise_perturb(
+        jax.random.PRNGKey(3), jnp.asarray(sig), jnp.asarray(siglen),
+        cfg.replace(online_noise_p=0.0)))
+    assert np.array_equal(out0, sig)
+    Bm, key = 64, jax.random.PRNGKey(7)
+    sig_m = (0.2 * rng.standard_normal((Bm, 800))).astype(np.float32)
+    len_m = np.full((Bm,), 800, np.int32)
+    out_m = np.asarray(aug.online_noise_perturb(
+        key, jnp.asarray(sig_m), jnp.asarray(len_m),
+        cfg.replace(online_noise_p=0.5)))
+    clean_rows = int(sum(np.array_equal(out_m[i], sig_m[i])
+                         for i in range(Bm)))
+    assert 16 <= clean_rows <= 48, clean_rows  # binomial(64, .5), ±4σ
+    noised = next(i for i in range(Bm)
+                  if not np.array_equal(out_m[i], sig_m[i]))
+    p_noise = np.mean((out_m[noised] - sig_m[noised]) ** 2)
+    snr_db = 10 * np.log10(np.mean(sig_m[noised] ** 2) / p_noise)
+    assert abs(snr_db - 10.0) < 0.3, snr_db
+    with pytest.raises(ValueError, match="online_noise_p"):
+        aug.online_noise_perturb(
+            jax.random.PRNGKey(0), jnp.asarray(sig), jnp.asarray(siglen),
+            cfg.replace(online_noise_p=1.5))
+
     with pytest.raises(ValueError, match="snr_low"):
         aug.online_noise_perturb(
             jax.random.PRNGKey(0), jnp.asarray(sig), jnp.asarray(siglen),

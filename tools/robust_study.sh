@@ -14,6 +14,9 @@
 #   A  train on clean, no augmentation          (mismatched baseline)
 #   B  train on clean + online noise/volume aug (the capability under test)
 #   C  train on the fixed degraded corpus       (matched-condition topline)
+#   D  like B but --online_noise_p 0.5          (mixed-condition: arm B
+#      showed always-on noise costs clean accuracy; the coin keeps clean
+#      speech in the training distribution)
 # Each arm evals greedy on clean-dev AND noisy-dev per epoch of interest.
 #
 # Stage selection: bash tools/robust_study.sh [corpus|shards|trainA|trainB|
@@ -21,7 +24,7 @@
 set -e -o pipefail
 cd "$(dirname "$0")/.."
 
-stages="${@:-corpus shards trainA trainB trainC eval}"
+stages="${@:-corpus shards trainA trainB trainC trainD eval}"
 run_stage() { case " $stages " in *" $1 "*) return 0;; *) return 1;; esac; }
 
 data=data/synth6k
@@ -67,9 +70,11 @@ if run_stage trainA; then train_arm A $work/shards_clean ""; fi
 if run_stage trainB; then train_arm B $work/shards_clean \
   "--online_noise_perturb True --online_noise_snr_low 5 --online_noise_snr_high 20 --online_noise_kind pink --online_volume_perturb True"; fi
 if run_stage trainC; then train_arm C $work/shards_noisy ""; fi
+if run_stage trainD; then train_arm D $work/shards_clean \
+  "--online_noise_perturb True --online_noise_p 0.5 --online_noise_snr_low 5 --online_noise_snr_high 20 --online_noise_kind pink --online_volume_perturb True"; fi
 
 if run_stage eval; then
-  for arm in A B C; do
+  for arm in A B C D; do
     for cond in clean noisy; do
       python3 test.py $feat --use_saved_config True \
         --save_dir $work/model_$arm --shard_dir $work/shards_$cond \
@@ -80,7 +85,7 @@ if run_stage eval; then
     done
   done
   echo "=== summary (dev WER) ==="
-  for arm in A B C; do
+  for arm in A B C D; do
     for cond in clean noisy; do
       printf "%s on %s: %s\n" $arm $cond \
         "$(grep -o 'WER: [0-9.]*' $work/eval_${arm}_${cond}.txt | tail -1)"
