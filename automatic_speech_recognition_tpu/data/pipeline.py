@@ -218,6 +218,18 @@ class BucketedLoader:
         return Batch((audio, audiolen, toks, toklen))
 
     def __iter__(self) -> Iterator[Batch]:
+        if self.is_training and not any(
+                bucket_of(self._len_key(r.featlen(i)), self.boundaries)
+                is not None
+                for r in self._readers.values() for i in range(len(r))):
+            # the infinite training stream would otherwise spin forever
+            # waiting for a first batch that can never fill (observed as
+            # train.py hanging silently on an empty/out-of-range corpus)
+            raise ValueError(
+                "training stream is empty: no record fits any bucket "
+                f"({self.num_records} records, boundaries "
+                f"{list(self.boundaries)}); check the shard files and "
+                "--bucket_boundaries_train")
         buckets: List[List] = [[] for _ in self.boundaries]
         self.dropped = 0  # beyond-last-boundary utts in the latest pass
         for r, i, featlen in self._record_stream():

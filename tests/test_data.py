@@ -97,6 +97,22 @@ def test_bucketed_loader_train_repeats(tmp_path, rng):
     assert all(b[0].shape[0] == 8 for b in batches)
 
 
+def test_empty_training_stream_refuses(tmp_path, rng):
+    # An infinite training stream whose records never fill a batch must
+    # raise, not spin forever (train.py used to hang silently at the
+    # first next() on an empty/out-of-range corpus).
+    feats = [rng.standard_normal((100, 4, 3)).astype(np.float32)]
+    tokens = [np.asarray([1, 2], np.int32)]
+    paths = shards.create_shards(feats, tokens, str(tmp_path / "tr"),
+                                 records_per_shard=5, seed=0)
+    cfg = Config(bucket_boundaries_train=(16,), bucket_batch_sizes=(4,))
+    with pytest.raises(ValueError, match="training stream is empty"):
+        next(iter(BucketedLoader(paths, cfg, is_training=True)))
+    # eval of the same corpus stays a quiet zero-batch pass
+    cfg_e = cfg.replace(bucket_boundaries_eval=(16,))
+    assert list(BucketedLoader(paths, cfg_e, is_training=False)) == []
+
+
 def test_prefetcher_passthrough_and_errors():
     out = list(DevicePrefetcher(iter([1, 2, 3]), lambda x: x * 2, depth=2))
     assert out == [2, 4, 6]
