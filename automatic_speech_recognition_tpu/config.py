@@ -223,6 +223,15 @@ class Config:
     # behavior); 0 = EOS must be the argmax; intended with
     # --beam_logprob True (the margin is a log-prob ratio then).
     beam_eos_margin: float = -1.0
+    # greedy end detection (the greedy counterpart of beam_eos_margin,
+    # applied as a stopping rule over the rolled-out logits): the
+    # hypothesis is cut at the first step where score(EOS) >= best
+    # content-token score minus this margin.  Rescues insertion-looping
+    # models whose argmax never picks EOS — measured on the robustness
+    # study's mixed-condition arm (benchmarks/WER_SYNTH.md).  The
+    # logit difference is softmax-shift-invariant, so raw logits are
+    # compared directly.  Negative = off (reference greedy parity).
+    greedy_eos_margin: float = -1.0
     # joint CTC/attention one-pass decoding (Watanabe et al. 2017),
     # beyond-reference: step score = (1-w)*logP_att + w*dPsi_ctc.  Needs a
     # --ctc-trained checkpoint and --beam_logprob True.  0 = off.

@@ -164,7 +164,23 @@ def eval_forward(params, bn_state, audio, audiolen, cfg: Config,
     logits, _, alphas, enc_len, _ = las.las_forward(
         params, bn_state, audio, audiolen, cfg, dec_steps,
         teacher=None, is_training=False)
-    return logits, jnp.argmax(logits, -1)
+    y_hat = jnp.argmax(logits, -1)
+    if cfg.greedy_eos_margin >= 0:
+        # greedy end detection: cut at the first step where EOS scores
+        # within the margin of the best CONTENT token (PAD/SOS excluded
+        # like beam.py's end detection: neither is ever a training
+        # target, so their unconstrained logits are phantom
+        # competitors).  Detokenization cuts at the first EOS, so
+        # marking every qualifying step is equivalent to cutting at the
+        # first one; steps before it are untouched (argmax parity).
+        # The logit difference equals the log-prob difference (softmax
+        # shift invariance), so raw logits are compared directly.
+        eos = logits[..., 2]
+        best_other = jnp.max(
+            logits.at[..., :3].set(-jnp.inf), axis=-1)
+        y_hat = jnp.where(eos >= best_other - cfg.greedy_eos_margin,
+                          2, y_hat)
+    return logits, y_hat
 
 
 def make_mesh_train_step(mesh, ts: TrainState, batch, cfg: Config):

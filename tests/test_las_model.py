@@ -159,6 +159,34 @@ def test_eval_forward_greedy():
     assert logits.shape == (2, 7, cfg.vocab_size)
 
 
+def test_greedy_eos_margin():
+    """--greedy_eos_margin: negative = exact argmax parity; a step is cut
+    to EOS exactly when logit(EOS) >= best content logit - margin; a huge
+    margin cuts everything."""
+    cfg = tiny_cfg()
+    params, state = las.las_init(jax.random.PRNGKey(0), cfg)
+    audio, audiolen, _, _ = fake_batch(cfg)
+    logits, base = trainer.eval_forward(params, state, audio, audiolen,
+                                        cfg, 7)
+    logits_off, off = trainer.eval_forward(
+        params, state, audio, audiolen, cfg.replace(greedy_eos_margin=-1.0), 7)
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(base))
+    np.testing.assert_array_equal(np.asarray(logits_off), np.asarray(logits))
+
+    m = 0.7
+    _, cut = trainer.eval_forward(
+        params, state, audio, audiolen, cfg.replace(greedy_eos_margin=m), 7)
+    lg = np.asarray(logits)
+    eos_ok = lg[..., 2] >= np.max(lg[..., 3:], -1) - m
+    np.testing.assert_array_equal(np.asarray(cut),
+                                  np.where(eos_ok, 2, np.asarray(base)))
+
+    _, all_eos = trainer.eval_forward(
+        params, state, audio, audiolen,
+        cfg.replace(greedy_eos_margin=1e9), 7)
+    assert (np.asarray(all_eos) == 2).all()
+
+
 def test_scan_unroll_is_exact():
     """cfg.scan_unroll changes scheduling only, never the math: forward
     logits at unroll 4 match unroll 1 (incl. a dec_steps not divisible
