@@ -19,12 +19,12 @@
 #      speech in the training distribution)
 # Each arm evals greedy on clean-dev AND noisy-dev per epoch of interest.
 #
-# Stage selection: bash tools/robust_study.sh [corpus|shards|trainA|trainB|
-#   trainC|eval]...  (no args = all stages)
+# Stage selection: bash tools/robust_study.sh [corpus|shards|trainA|
+#   trainB|trainC|trainD|eval|beam]...  (no args = all stages)
 set -e -o pipefail
 cd "$(dirname "$0")/.."
 
-stages="${@:-corpus shards trainA trainB trainC trainD eval}"
+stages="${@:-corpus shards trainA trainB trainC trainD eval beam}"
 run_stage() { case " $stages " in *" $1 "*) return 0;; *) return 1;; esac; }
 
 data=data/synth6k
@@ -84,11 +84,29 @@ if run_stage eval; then
         | tee $work/eval_${arm}_${cond}.txt
     done
   done
-  echo "=== summary (dev WER) ==="
+fi
+
+# beam decode per arm: the greedy-vs-beam gap is the study's EOS-failure
+# diagnostic (mixed-condition arm D greedy-loops but beam-decodes fine)
+if run_stage beam; then
   for arm in A B C D; do
     for cond in clean noisy; do
-      printf "%s on %s: %s\n" $arm $cond \
-        "$(grep -o 'WER: [0-9.]*' $work/eval_${arm}_${cond}.txt | tail -1)"
+      python3 decode.py $feat --use_saved_config True \
+        --save_dir $work/model_$arm --shard_dir $work/shards_$cond \
+        --split dev --stall_timeout_s 900 --beam_size 8 \
+        --log_dir $work/beam_${arm}_${cond} \
+        | tee $work/beam_${arm}_${cond}.txt
+    done
+  done
+fi
+
+if run_stage eval || run_stage beam; then
+  echo "=== summary (dev WER, greedy / beam8) ==="
+  for arm in A B C D; do
+    for cond in clean noisy; do
+      printf "%s on %s: %s / %s\n" $arm $cond \
+        "$(grep -o 'WER: [0-9.]*' $work/eval_${arm}_${cond}.txt 2>/dev/null | tail -1)" \
+        "$(grep -o 'WER: [0-9.]*' $work/beam_${arm}_${cond}.txt 2>/dev/null | tail -1)"
     done
   done
 fi
