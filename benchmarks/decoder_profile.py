@@ -1,18 +1,17 @@
-"""Decoder-step cost decomposition (run manually on TPU).
+"""Decoder-step cost decomposition with DEVICE-time resolution
+(run manually on TPU).
 
-The roofline (benchmarks/RESULTS.md) says the greedy-eval program is
-~640 us per decoder step at the published shape while the raw math is
-~100 us; this bench decomposes the gap so any hand-written kernel work
-targets the real cost instead of a guess.  Ablations:
+Wall-clock timing of one dispatch cannot resolve sub-25 ms programs on
+the tunneled platform: a single host->device dispatch costs ~25-30 ms
+RPC no matter how small the program, and dispatches do NOT overlap, so
+both naive and "pipelined" timings saturate at the floor (measured
+2026-08-18; benchmarks/RESULTS.md "Dispatch floor").  This bench
+resolves true device time the same way bench.py does: run the body K
+times INSIDE one jitted program with a serializing scalar carry and
+report (t_K - t_1) / (K - 1).
 
-  encoder     listener_apply alone (everything outside the decoder scan)
-  full        las_forward inference (encoder + scan)
-  spell/loc   speller_apply alone on a held fixed enc_out (loc attention)
-  spell/add   same with additive attention (ablates the 201-tap conv)
-  spell/noctx speller with enc_out length 8 (ablates context/energy size)
-  unroll=k    spell/loc at scan_unroll k (weight-stream amortization)
-
-Timings force completion via float(jax.device_get(.)) per CLAUDE.md.
+Ablations: encoder alone; full greedy eval forward; loc vs additive
+attention (isolates the 201-tap location conv); scan_unroll on both.
 
 Usage: python benchmarks/decoder_profile.py [--quick] [--dtype bfloat16]
 """
@@ -35,9 +34,8 @@ from automatic_speech_recognition_tpu.config import Config
 from automatic_speech_recognition_tpu.models import las
 
 
-def timed(fn, n=5):
-    """Median single-dispatch latency (includes the platform's host->
-    device dispatch floor — ~28 ms through the axon tunnel)."""
+def timed(fn, n=3):
+    float(jax.device_get(fn()))  # compile + warm
     vals = []
     for _ in range(n):
         t0 = time.perf_counter()
@@ -46,17 +44,20 @@ def timed(fn, n=5):
     return float(np.median(vals))
 
 
-def timed_pipelined(fn, n=10):
-    """Per-dispatch time with n dispatches in flight (inputs device-
-    resident, results fetched at the end): amortizes the dispatch floor
-    the way the eval/serving drivers do via prefetch, so this is the
-    THROUGHPUT-side number."""
-    float(jax.device_get(fn()))  # warm
-    t0 = time.perf_counter()
-    outs = [fn() for _ in range(n)]
-    for o in outs:
-        float(jax.device_get(o))
-    return (time.perf_counter() - t0) / n
+def measure_body(body, params_state, audio, K=8):
+    """Device time per body evaluation via K-amplification: the scalar
+    carry makes iterations data-dependent (no CSE, no overlap), and the
+    dispatch floor cancels in the difference."""
+    def run(k):
+        @jax.jit
+        def f(params, state, audio):
+            def it(i, acc):
+                return acc + body(params, state, audio + acc * 1e-30)
+            return jax.lax.fori_loop(0, k, it, 0.0)
+        p, s = params_state
+        return timed(lambda: f(p, s, audio))
+    t1, tK = run(1), run(K)
+    return (tK - t1) / (K - 1)
 
 
 def main():
@@ -81,76 +82,50 @@ def main():
                   scheduled_sampling=False, **size)
 
     rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.standard_normal((B, 4 * T, base.feat_dim, 3)),
-                        jnp.float32)
+    audio = jax.device_put(jnp.asarray(
+        rng.standard_normal((B, 4 * T, base.feat_dim, 3)), jnp.float32))
     audiolen = jnp.full((B,), 4 * T, jnp.int32)
 
-    def spell_only(cfg, T_enc):
-        """speller_apply on a held random enc_out of the listener's shape.
-        enc_out/params are jit ARGUMENTS (device-resident), not closure
-        constants — embedded constants distort dispatch cost."""
-        H = las.enc_out_dim(cfg)
-        params = las.speller_init(jax.random.PRNGKey(0), cfg)
-        enc = jnp.asarray(rng.standard_normal((B, T_enc, H)), jnp.float32)
-        params, enc = las.compute_cast(cfg, {"speller": params}, enc)
-        params = jax.device_put(params["speller"])
-        enc = jax.device_put(enc)
-        enc_len = jnp.full((B,), T_enc, jnp.int32)
+    def enc_body(cfg):
+        def body(params, state, audio):
+            p, a = las.compute_cast(cfg, params, audio)
+            enc_out, _, _ = las.listener_apply(
+                p["listener"], state["listener"], a, audiolen, cfg,
+                False, None)
+            return jnp.sum(enc_out.astype(jnp.float32))
+        return body
 
-        @jax.jit
-        def f(params, enc):
-            logits, alphas = las.speller_apply(
-                params, cfg, enc, enc_len, S, None, is_training=False)
-            return jnp.sum(logits.astype(jnp.float32))
-        g = lambda: f(params, enc)
-        float(jax.device_get(g()))  # compile
-        return timed(g), timed_pipelined(g)
-
-    def full(cfg):
-        params, state = jax.device_put(
-            las.las_init(jax.random.PRNGKey(0), cfg))
-
-        @jax.jit
-        def f(params, state, audio):
+    def full_body(cfg):
+        def body(params, state, audio):
             logits, _, _, _, _ = las.las_forward(
                 params, state, audio, audiolen, cfg, S,
                 is_training=False)
             return jnp.sum(logits)
+        return body
 
-        @jax.jit
-        def enc_fn(params, state, audio):
-            p, a = las.compute_cast(cfg, params, audio)
-            enc_out, enc_len, _ = las.listener_apply(
-                p["listener"], state["listener"], a, audiolen, cfg,
-                False, None)
-            return jnp.sum(enc_out.astype(jnp.float32))
-        g = lambda: f(params, state, audio)
-        enc_only = lambda: enc_fn(params, state, audio)
-        float(jax.device_get(g()))
-        float(jax.device_get(enc_only()))
-        return (timed(g), timed_pipelined(g),
-                timed(enc_only), timed_pipelined(enc_only))
-
-    rows = []
-    t_full, tp_full, t_enc, tp_enc = full(base)
-    rows.append(("encoder only", t_enc, tp_enc))
-    rows.append(("full eval fwd", t_full, tp_full))
-    rows.append(("derived scan", t_full - t_enc, tp_full - tp_enc))
-    for label, cfg, t_enc_len in (
-            ("spell/loc", base, T),
-            ("spell/add", base.replace(mode="add"), T),
-            ("spell/noctx(T=8)", base, 8),
-            ("spell/loc unroll4", base.replace(scan_unroll=4), T),
-            ("spell/loc unroll8", base.replace(scan_unroll=8), T)):
-        lat, thr = spell_only(cfg, t_enc_len)
-        rows.append((label, lat, thr))
-    print(f"\nshape: B={B} T_enc={T} S={S} dtype={args.dtype} "
-          f"{'quick' if args.quick else 'published'} size")
-    print(f"  {'':20s} {'latency':>10s} {'pipelined':>10s} "
-          f"{'us/step(pl)':>12s}")
-    for label, lat, thr in rows:
-        print(f"  {label:20s} {lat*1e3:8.2f} ms {thr*1e3:8.2f} ms "
-              f"{thr/S*1e6:10.1f}")
+    cases = (
+        ("encoder u1", base, enc_body),
+        ("encoder u4", base.replace(scan_unroll=4), enc_body),
+        ("full/loc u1", base, full_body),
+        ("full/loc u4", base.replace(scan_unroll=4), full_body),
+        ("full/add u1", base.replace(mode="add"), full_body),
+    )
+    print(f"shape: B={B} T_enc={T} S={S} dtype={args.dtype} "
+          f"{'quick' if args.quick else 'published'} size "
+          f"(device time via K-amplification)")
+    results = {}
+    for label, cfg, mk in cases:
+        ps = jax.device_put(las.las_init(jax.random.PRNGKey(0), cfg))
+        t = measure_body(mk(cfg), ps, audio)
+        results[label] = t
+        print(f"  {label:14s} {t*1e3:7.2f} ms", flush=True)
+    scan = results["full/loc u1"] - results["encoder u1"]
+    conv = results["full/loc u1"] - results["full/add u1"]
+    print(f"  derived: decoder scan {scan*1e3:.2f} ms "
+          f"({scan/S*1e6:.1f} us/step); location conv+proj "
+          f"{conv*1e3:.2f} ms ({conv/S*1e6:.1f} us/step)")
+    print(f"  eval throughput (device): "
+          f"{B/results['full/loc u1']:.0f} utt/s per chip")
 
 
 if __name__ == "__main__":
