@@ -165,6 +165,10 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
     h_proj_k = jnp.broadcast_to(
         att.precompute_hidden(speller_params["attention"], enc_out),
         (K, T, speller_params["attention"]["w_h"]["w"].shape[-1]))
+    # location-conv Toeplitz matrix: batch-independent, shared by all
+    # beams and steps (see ops/attention.py module docstring)
+    loc_proj = (att.precompute_location(speller_params["attention"], T)
+                if cfg.mode == "loc" else None)
     use_lm = lm_params is not None
 
     class Carry(NamedTuple):
@@ -215,7 +219,7 @@ def _beam_search_single(speller_params, cfg: Config, enc_out, enc_len,
         prev_emb = L.embedding_lookup(speller_params["embedding"], c.prev_ids)
         logits, new_states, alphas = las.decode_step(
             speller_params, cfg, enc_out_k, enc_len_k, c.dec_states,
-            prev_emb, c.prev_align, h_proj_k)
+            prev_emb, c.prev_align, h_proj_k, loc_proj)
         # beam scores accumulate in float32 even under bf16 compute
         logits = logits.astype(jnp.float32)
         if use_lm:

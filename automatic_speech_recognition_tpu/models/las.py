@@ -189,17 +189,19 @@ def speller_init(key, cfg: Config) -> Dict:
 
 
 def decode_step(params, cfg: Config, enc_out, enc_len, states, prev_emb,
-                prev_align, h_proj=None):
+                prev_align, h_proj=None, loc_proj=None):
     """One decoder step (reference: Speller.decode, las/las.py:145-160).
 
     states: (L, B, U).  Attention query = concat of ALL layer states
-    (las/las.py:185-189).  h_proj: optional precomputed enc_out @ W_h.
+    (las/las.py:185-189).  h_proj: optional precomputed enc_out @ W_h;
+    loc_proj: optional precomputed location-conv Toeplitz matrix
+    (att.precompute_location) — both loop-invariant, hoisted by callers.
     """
     B = enc_out.shape[0]
     s_i = jnp.transpose(states, (1, 0, 2)).reshape(B, -1)
     context, alphas = att.attention_apply(
         params["attention"], cfg.mode, enc_out, s_i, prev_align, enc_len,
-        h_proj)
+        h_proj, loc_proj)
     x = jnp.concatenate([prev_emb, context], -1)
     new_states = []
     for l in range(cfg.num_dec_layers):
@@ -269,12 +271,14 @@ def speller_apply(params, cfg: Config, enc_out, enc_len, dec_steps: int,
                  else jnp.zeros((dec_steps, B), jnp.int32))
 
     h_proj = att.precompute_hidden(params["attention"], enc_out)
+    loc_proj = (att.precompute_location(params["attention"], T_enc)
+                if cfg.mode == "loc" else None)
 
     def step(carry, y_t):
         states, prev_emb, prev_align, key = carry
         logits, states, alphas = decode_step(
             params, cfg, enc_out, enc_len, states, prev_emb, prev_align,
-            h_proj)
+            h_proj, loc_proj)
         if needs_rng:
             key, k_coin, k_samp, k_drop, k_vn = jax.random.split(key, 5)
         else:

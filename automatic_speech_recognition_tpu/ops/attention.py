@@ -8,8 +8,16 @@ Reference semantics (las/layers.py:165-311):
   loc_num_channels, kernel=loc_kernel_size, SAME, with bias)
 
 TPU notes: the score is computed for the whole (B, T) at once — a single
-(B*T, H) @ (H, A) matmul; the location conv is a 1-D conv over T with 1
-input channel, expressed as conv_general_dilated so XLA can fuse it.
+(B*T, H) @ (H, A) matmul.  The location conv is a 1-D conv over T with ONE
+input channel and 10 output channels — a shape XLA:TPU lowers badly (no
+contraction dim for the MXU; measured at 37 us/decode-step, 69% of the
+whole decoder scan, benchmarks/decoder_profile.py).  It is instead
+evaluated as a matmul against a hoisted Toeplitz expansion of the kernel:
+f[b,t,c] = sum_tau align[b,tau] * M[tau,t,c] with
+M[tau,t,c] = conv_w[tau-t+pad, c] — one (B,T) @ (T, T*C) MXU matmul per
+step, with M built once per forward pass (loop-invariant, so it is
+hoisted out of the decoder scan / beam while_loop by the callers, like
+h_proj).  Same math as the SAME conv, float-reassociation only.
 """
 
 from __future__ import annotations
@@ -32,7 +40,9 @@ def masked_attend(hidden: jnp.ndarray, energy: jnp.ndarray,
     mask = layers.length_mask(seqlen, T, energy.dtype)
     energy = jnp.where(mask == 0, NEG_INF, energy)
     alphas = jax.nn.softmax(energy, axis=-1)
-    context = jnp.sum(hidden * alphas[..., None], axis=1)
+    # batched (1, T) @ (T, H) on the MXU — the broadcast-multiply+reduce
+    # form materializes a (B, T, H) intermediate on the VPU instead
+    context = jnp.einsum("bt,bth->bh", alphas, hidden)
     return context, alphas
 
 
@@ -77,16 +87,35 @@ def location_init(key, h_dim: int, s_dim: int, att_size: int,
     }
 
 
-def location_apply(p: Dict, hidden, state, align, seqlen, h_proj=None):
+def precompute_location(p: Dict, T: int) -> jnp.ndarray:
+    """Toeplitz expansion M (T, T, C) of the location conv kernel, such
+    that conv1d_SAME(align, conv_w)[b,t,c] == einsum("bt,tsc->bsc",
+    align, M)[b,t,c].  Depends only on params and the static T, so
+    callers hoist it out of the decode loop (built once per utterance
+    batch; (T, T, C) floats — 10.5 MB at T=512, C=10)."""
+    w = p["conv_w"][:, 0, :]                      # (K, C)
+    K = w.shape[0]
+    pad_low = (K - 1) // 2                        # XLA SAME: low = (K-1)//2
+    tau = jnp.arange(T)[:, None]
+    t = jnp.arange(T)[None, :]
+    idx = tau - t + pad_low                       # (T, T)
+    valid = (idx >= 0) & (idx < K)
+    safe = jnp.clip(idx, 0, K - 1)
+    return jnp.where(valid[..., None], w[safe], jnp.zeros((), w.dtype))
+
+
+def location_apply(p: Dict, hidden, state, align, seqlen, h_proj=None,
+                   loc_proj=None):
     """Location-aware attention (las/layers.py:281-309): eq (8)-(9) of
     Chorowski et al. with f from a SAME 1-D conv over the previous
-    alignment."""
+    alignment (evaluated as the hoisted Toeplitz matmul, see module
+    docstring)."""
     if h_proj is None:
         h_proj = precompute_hidden(p, hidden)
-    # conv1d over T: (B, T, 1) * (K, 1, C) -> (B, T, C)
-    f = jax.lax.conv_general_dilated(
-        align[..., None], p["conv_w"], window_strides=(1,), padding="SAME",
-        dimension_numbers=("NWC", "WIO", "NWC")) + p["conv_b"]
+    if loc_proj is None:
+        loc_proj = precompute_location(p, align.shape[1])
+    # one dot_general: (B, T) x (T, S, C) -> (B, S, C)
+    f = jnp.einsum("bt,tsc->bsc", align, loc_proj) + p["conv_b"]
     v = jnp.tanh(h_proj
                  + layers.dense_apply(p["w_s"], state)[:, None, :]
                  + layers.dense_apply(p["w_f"], f))
@@ -105,9 +134,10 @@ def attention_init(key, mode: str, h_dim: int, s_dim: int, att_size: int,
 
 
 def attention_apply(p: Dict, mode: str, hidden, state, align, seqlen,
-                    h_proj=None):
+                    h_proj=None, loc_proj=None):
     if mode == "add":
         return additive_apply(p, hidden, state, align, seqlen, h_proj)
     if mode == "loc":
-        return location_apply(p, hidden, state, align, seqlen, h_proj)
+        return location_apply(p, hidden, state, align, seqlen, h_proj,
+                              loc_proj)
     raise NotImplementedError(f"attention mode {mode}")
