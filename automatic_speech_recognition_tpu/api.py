@@ -67,7 +67,11 @@ class Recognizer:
             if lm_restored is None:
                 raise FileNotFoundError(f"no LM checkpoint in {lm_dir}")
             lm_params = lm_restored.params
-        return cls(restored.params, restored.bn_state, cfg, tokenizer,
+        from .ops import quant
+        params = quant.maybe_quantize_params(restored.params, cfg)
+        if lm_params is not None and cfg.quantize_decoder != "none":
+            lm_params = quant.quantize_lm(lm_params, lm_cfg)
+        return cls(params, restored.bn_state, cfg, tokenizer,
                    lm_params, lm_cfg)
 
     def _features(self, signals: Sequence[np.ndarray],

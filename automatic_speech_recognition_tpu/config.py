@@ -258,6 +258,13 @@ class Config:
     ctc_compat_drop_last: bool = False
 
     # ---- TPU-native knobs (no reference equivalent) ----
+    # inference-only int8 weight quantization of the speller's per-step
+    # weight stream ('none' | 'int8'): the decode scan is HBM-bound on
+    # re-reading the recurrent kernels every step (RESULTS.md roofline),
+    # so int8 halves the binding traffic vs bf16.  Applied by
+    # test.py/decode.py/serving to restored float checkpoints; training
+    # is always float (ops/quant.py)
+    quantize_decoder: str = "none"
     dtype: str = "float32"                # compute dtype: 'float32' | 'bfloat16'
     num_partitions: int = 1               # model-parallel axis size (mesh 'model')
     data_axis: str = "data"               # mesh axis name for batch sharding

@@ -48,7 +48,11 @@ def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True) -> Dict:
 
 
 def dense_apply(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"]
+    if "w_q" in p:  # int8 weight-only inference path (ops/quant.py)
+        from . import quant
+        y = quant.dequant_matmul(x, p["w_q"], p["w_scale"])
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y
@@ -84,7 +88,12 @@ def rnn_cell_init(key, in_dim: int, units: int) -> Dict:
 
 
 def rnn_cell_apply(p: Dict, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-    return jnp.tanh(jnp.concatenate([x, h], -1) @ p["w"] + p["b"])
+    xh = jnp.concatenate([x, h], -1)
+    if "w_q" in p:  # int8 weight-only inference path (ops/quant.py)
+        from . import quant
+        return jnp.tanh(quant.dequant_matmul(xh, p["w_q"], p["w_scale"])
+                        + p["b"])
+    return jnp.tanh(xh @ p["w"] + p["b"])
 
 
 def lstm_cell_init(key, in_dim: int, units: int) -> Dict:
@@ -98,7 +107,12 @@ def lstm_cell_apply(p: Dict, x: jnp.ndarray, state: Tuple[jnp.ndarray, jnp.ndarr
     """TF BasicLSTMCell semantics; reference LM uses forget_bias=0
     (lang/char_rnn_model.py:63-65)."""
     c, h = state
-    z = jnp.concatenate([x, h], -1) @ p["w"] + p["b"]
+    xh = jnp.concatenate([x, h], -1)
+    if "w_q" in p:  # int8 weight-only inference path (ops/quant.py)
+        from . import quant
+        z = quant.dequant_matmul(xh, p["w_q"], p["w_scale"]) + p["b"]
+    else:
+        z = xh @ p["w"] + p["b"]
     i, j, f, o = jnp.split(z, 4, axis=-1)
     new_c = c * jax.nn.sigmoid(f + forget_bias) + jax.nn.sigmoid(i) * jnp.tanh(j)
     new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)

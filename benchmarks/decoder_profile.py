@@ -103,19 +103,28 @@ def main():
             return jnp.sum(logits)
         return body
 
+    from automatic_speech_recognition_tpu.ops import quant
+
+    def q8(params):  # int8 speller weight stream (ops/quant.py)
+        return quant.quantize_model_params(params, base.vocab_size)
+
     cases = (
-        ("encoder u1", base, enc_body),
-        ("encoder u4", base.replace(scan_unroll=4), enc_body),
-        ("full/loc u1", base, full_body),
-        ("full/loc u4", base.replace(scan_unroll=4), full_body),
-        ("full/add u1", base.replace(mode="add"), full_body),
+        ("encoder u1", base, enc_body, None),
+        ("encoder u4", base.replace(scan_unroll=4), enc_body, None),
+        ("full/loc u1", base, full_body, None),
+        ("full/loc u4", base.replace(scan_unroll=4), full_body, None),
+        ("full/loc u4 q8", base.replace(scan_unroll=4), full_body, q8),
+        ("full/add u1", base.replace(mode="add"), full_body, None),
     )
     print(f"shape: B={B} T_enc={T} S={S} dtype={args.dtype} "
           f"{'quick' if args.quick else 'published'} size "
           f"(device time via K-amplification)")
     results = {}
-    for label, cfg, mk in cases:
-        ps = jax.device_put(las.las_init(jax.random.PRNGKey(0), cfg))
+    for label, cfg, mk, ptrans in cases:
+        params, state = las.las_init(jax.random.PRNGKey(0), cfg)
+        if ptrans is not None:
+            params = ptrans(params)
+        ps = jax.device_put((params, state))
         t = measure_body(mk(cfg), ps, audio)
         results[label] = t
         print(f"  {label:14s} {t*1e3:7.2f} ms", flush=True)

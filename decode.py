@@ -149,6 +149,12 @@ def main(argv=None):
         raise FileNotFoundError(f"no LAS checkpoint in {cfg.save_dir}")
     ts = restored
     log.info("LAS restored (step %d)", int(ts.step))
+    if cfg.quantize_decoder != "none":
+        from automatic_speech_recognition_tpu.ops import quant
+        ts = ts._replace(params=quant.maybe_quantize_params(ts.params, cfg))
+        if lm_params is not None:  # fusion LM streams weights per step too
+            lm_params = quant.quantize_lm(lm_params, lm_cfg)
+        log.info("decoder weights quantized (%s)", cfg.quantize_decoder)
 
     error, N, count = 0.0, 0, 0
     hyps, refs = [], []

@@ -85,6 +85,10 @@ def main(argv=None):
     log.info("restored epoch %s (step %d)",
              cfg.restore_epoch if cfg.restore_epoch >= 0
              else ckpt.latest_epoch(), int(ts.step))
+    if cfg.quantize_decoder != "none":
+        from automatic_speech_recognition_tpu.ops import quant
+        ts = ts._replace(params=quant.maybe_quantize_params(ts.params, cfg))
+        log.info("decoder weights quantized (%s)", cfg.quantize_decoder)
 
     if cfg.audio_shards:
         from automatic_speech_recognition_tpu.ops import frontend
