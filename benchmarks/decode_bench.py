@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--apply_lm", action="store_true")
     ap.add_argument("--full_size", action="store_true",
                     help="published-recipe model dims")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 weight-only speller/LM stream (ops/quant.py)")
     args = ap.parse_args()
 
     size = dict(enc_units=256, num_enc_channels=32, num_enc_layers=2,
@@ -59,6 +61,12 @@ def main():
         lm_cfg = char_rnn.LMConfig(vocab_size=28, hidden_size=512,
                                    embedding_size=0, num_layers=2)
         lm_params = char_rnn.lm_init(jax.random.PRNGKey(1), lm_cfg)
+
+    if args.quantize:
+        from automatic_speech_recognition_tpu.ops import quant
+        params = quant.quantize_model_params(params, cfg.vocab_size)
+        if lm_params is not None:
+            lm_params = quant.quantize_lm(lm_params, lm_cfg)
 
     def run():
         res = beam_lib.beam_search(params, bn_state, audio, audiolen, cfg,
