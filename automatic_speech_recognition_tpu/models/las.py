@@ -324,7 +324,18 @@ def compute_cast(cfg: Config, params, audio):
         return params, audio
     cast = lambda x: (x.astype(jnp.bfloat16)
                       if x.dtype == jnp.float32 else x)
-    return jax.tree_util.tree_map(cast, params), audio.astype(jnp.bfloat16)
+
+    # int8 dequant scales (ops/quant.py 'w_scale' leaves) stay float32:
+    # downcasting them to bf16 would stack ~0.4% scale rounding on the
+    # documented ~0.8% int8 quantization error; dequant_matmul casts to
+    # the activation dtype at the point of use.
+    def cast_tree(t):
+        if isinstance(t, dict):
+            return {k: (v if k == "w_scale" else cast_tree(v))
+                    for k, v in t.items()}
+        return jax.tree_util.tree_map(cast, t)
+
+    return cast_tree(params), audio.astype(jnp.bfloat16)
 
 
 def las_forward(params, state, audio, audiolen, cfg: Config, dec_steps: int,

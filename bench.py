@@ -6,13 +6,27 @@ target is >=50x that throughput.  This benchmark measures:
 
 - baseline: the NumPy speechpy-semantics pipeline (ops/frontend_host.py),
   one utterance at a time on the host — a faithful stand-in for the
-  reference's hot loop (same math, same output).
-- candidate: the batched, jitted JAX frontend (ops/frontend.py) on the
-  available accelerator.
+  reference's hot loop (same math, same output).  32 utterances per pass,
+  median of 5 passes.
+- candidate: the batched, jitted frontend (Pallas kernel on TPU, XLA
+  elsewhere) measured in DEVICE time via K-amplification: the body runs
+  K times inside one jitted program with a serializing scalar carry, and
+  per-batch time is (t_K - t_1)/(K - 1).  Per-dispatch wall timing on the
+  tunneled platform swings +-20% (dispatch RPC floor ~25-30 ms dwarfs a
+  ~2 ms kernel; see benchmarks/RESULTS.md "Dispatch floor" and the int8
+  study that falsified wall-clock A/Bs) — K-amplification cancels the
+  floor exactly and is the methodology every other bench in this repo
+  trusts (decoder_profile.py, frontend_probe.py).  On co-located TPU
+  hosts the dispatch floor does not exist, so device time IS the
+  production number.  Both sides report the best of repeated windows
+  (contention on a shared host/chip is strictly additive) plus the
+  min..max spread, so a regression is distinguishable from a noisy
+  window.
 
 Prints ONE JSON line:
   {"metric": "frontend_utts_per_sec", "value": N, "unit": "utt/s",
-   "vs_baseline": speedup}
+   "vs_baseline": speedup, "spread_pct": device run-to-run spread,
+   "cpu_utts_per_sec": baseline, "device_ms_per_batch": N}
 """
 
 from __future__ import annotations
@@ -65,8 +79,10 @@ SAMPLE_RATE = 16000
 UTT_SECONDS = 10.0
 FEAT_DIM = 13
 BATCH = 128
-CPU_UTTS = 8
-DEVICE_ITERS = 10
+CPU_UTTS = 32
+CPU_PASSES = 5
+K_AMP = 8
+DEVICE_REPS = 5
 
 
 def make_audio(n, seconds, rng):
@@ -74,63 +90,94 @@ def make_audio(n, seconds, rng):
     return (rng.standard_normal((n, s)) * 0.1).astype(np.float32)
 
 
-def bench_cpu(audio, repeats=3):
-    """Best of `repeats` passes (noise-robust; throughput noise is
-    strictly additive)."""
-    best = 0.0
-    for _ in range(repeats):
+def bench_cpu(audio):
+    """Best-of-passes throughput over CPU_UTTS utterances (noise on a
+    shared host is strictly additive, so max rate estimates the
+    uncontended baseline; the spread shows how contended the host was)."""
+    rates = []
+    for _ in range(CPU_PASSES):
         t0 = time.perf_counter()
         for i in range(audio.shape[0]):
             frontend_host.process_audio(
                 audio[i], sample_rate=SAMPLE_RATE, feat_dim=FEAT_DIM,
                 feat_type="mfcc", apply_cmvn=True)
         dt = time.perf_counter() - t0
-        best = max(best, audio.shape[0] / dt)
-    return best
+        rates.append(audio.shape[0] / dt)
+        _heartbeat()
+    rates = np.asarray(rates)
+    spread = float((rates.max() - rates.min()) / rates.max()) * 100.0
+    return float(rates.max()), spread
+
+
+def _timed(fn, n=3):
+    """Median wall time of fn(); forces completion via a data-dependent
+    scalar device_get (block_until_ready can return early on tunneled
+    TPU platforms)."""
+    vals = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(jax.device_get(fn()))
+        vals.append(time.perf_counter() - t0)
+    return float(np.median(vals))
 
 
 def bench_device(audio):
-    """Timing forces completion with a data-dependent scalar device_get —
-    block_until_ready can return early on tunneled TPU platforms."""
+    """K-amplified device time per batch: run the frontend k times inside
+    one program, serialized by a scalar carry (no CSE, no overlap); the
+    dispatch floor cancels in (t_K - t_1)/(K - 1)."""
     audiolen = jnp.full((audio.shape[0],), audio.shape[1], jnp.int32)
-    x = jnp.asarray(audio)
+    x = jax.device_put(jnp.asarray(audio))
 
     use_pallas = jax.default_backend() == "tpu"  # production default path
 
-    def run():
-        f, fl = frontend.extract_features(
-            x, audiolen, sample_rate=SAMPLE_RATE, feat_dim=FEAT_DIM,
-            feat_type="mfcc", apply_cmvn=True, use_pallas=use_pallas)
+    def make(k):
+        @jax.jit
+        def f(a):
+            def it(i, acc):
+                feats, _ = frontend.extract_features(
+                    a + acc * 1e-30, audiolen, sample_rate=SAMPLE_RATE,
+                    feat_dim=FEAT_DIM, feat_type="mfcc", apply_cmvn=True,
+                    use_pallas=use_pallas)
+                return acc + feats[0, 0, 0, 0]
+            return jax.lax.fori_loop(0, k, it, 0.0)
         return f
 
-    def loop(n):
-        acc = 0.0
-        for _ in range(n):
-            acc = acc + run()[0, 0, 0, 0]
-        return float(jax.device_get(acc))
+    f1, fK = make(1), make(K_AMP)
+    float(jax.device_get(f1(x)))   # compile
+    _heartbeat()
+    float(jax.device_get(fK(x)))   # compile
+    _heartbeat()
 
-    loop(2)  # compile the kernel AND the timing glue ops
-    _heartbeat()  # compile done; re-arm the stall watchdog
-    best = 0.0
-    for _ in range(3):  # best of 3 windows (tunnel latency is noisy)
-        t0 = time.perf_counter()
-        loop(DEVICE_ITERS)
-        dt = time.perf_counter() - t0
-        best = max(best, DEVICE_ITERS * audio.shape[0] / dt)
+    # the tunneled chip is time-shared: device time itself varies ~25%
+    # between windows, so min-of-paired-reps estimates the uncontended
+    # kernel time and the spread records the contention envelope
+    dts = []
+    for _ in range(DEVICE_REPS):
+        t1 = _timed(lambda: f1(x))
+        tK = _timed(lambda: fK(x))
+        dts.append((tK - t1) / (K_AMP - 1))
         _heartbeat()
-    return best
+    dts = np.asarray(dts)
+    dt = float(dts.min())
+    spread = float((dts.max() - dts.min()) / dt) * 100.0
+    return audio.shape[0] / dt, spread, dt
 
 
 def main():
     rng = np.random.default_rng(0)
-    cpu_rate = bench_cpu(make_audio(CPU_UTTS, UTT_SECONDS, rng))
+    cpu_rate, cpu_spread = bench_cpu(make_audio(CPU_UTTS, UTT_SECONDS, rng))
     _heartbeat()  # CPU baseline done
-    dev_rate = bench_device(make_audio(BATCH, UTT_SECONDS, rng))
+    dev_rate, dev_spread, dt = bench_device(
+        make_audio(BATCH, UTT_SECONDS, rng))
     print(json.dumps({
         "metric": "frontend_utts_per_sec",
         "value": round(dev_rate, 2),
         "unit": "utt/s",
         "vs_baseline": round(dev_rate / cpu_rate, 2),
+        "spread_pct": round(dev_spread, 1),
+        "cpu_utts_per_sec": round(cpu_rate, 2),
+        "cpu_spread_pct": round(cpu_spread, 1),
+        "device_ms_per_batch": round(dt * 1e3, 3),
     }))
 
 

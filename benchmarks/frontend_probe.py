@@ -46,15 +46,8 @@ def main():
     frames = (S - FL) // FS + 1
     featlen = jnp.full((B,), frames, jnp.int32)
 
-    def body():
-        f = pk.fused_frontend(
-            audio, featlen, flen=FL, fstride=FS, fft_length=NFFT,
-            feat_dim=D, feat_type="mfcc", num_mel_filters=NMEL,
-            sample_rate=SR, frames_max=frames, apply_cmvn=True)
-        return jnp.sum(f)
-
     # K-amplification at the jnp level: serialize via scalar carry
-    def run(k):
+    def run(k, U):
         @jax.jit
         def f(a):
             def it(i, acc):
@@ -62,15 +55,31 @@ def main():
                     a + acc * 1e-30, featlen, flen=FL, fstride=FS,
                     fft_length=NFFT, feat_dim=D, feat_type="mfcc",
                     num_mel_filters=NMEL, sample_rate=SR,
-                    frames_max=frames, apply_cmvn=True)
+                    frames_max=frames, apply_cmvn=True, utts_per_step=U)
                 return acc + jnp.sum(g)
             return jax.lax.fori_loop(0, k, it, 0.0)
         return timed(lambda: f(audio))
 
-    t1, tK = run(1), run(5)
-    dt = (tK - t1) / 4
-    print(f"fused_frontend device time: {dt*1e3:.2f} ms/batch "
-          f"({B/dt:.0f} utt/s, {dt/B*1e6:.1f} us/utt)", flush=True)
+    # The tunneled chip is time-shared: device time itself varies ~25%
+    # between windows.  Each variant therefore gets 3 paired (t1, tK)
+    # measurements; min estimates the uncontended kernel time, the
+    # min..max spread shows the contention envelope.
+    for U in (1, 2, 1, 2):  # interleaved twice: contention drift check
+        pk._SEMANTICS, pk._FOLDED, pk._BF16X3 = "parallel", False, True
+        jax.clear_caches()  # module flags are not jit cache keys
+        try:
+            dts = []
+            for _ in range(3):
+                t1, tK = run(1, U), run(5, U)
+                dts.append((tK - t1) / 4)
+        except Exception as e:  # VMEM overflow at large U: record, move on
+            print(f"U={U}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            continue
+        lo, hi, med = min(dts), max(dts), float(np.median(dts))
+        print(f"U={U}: min {lo*1e3:.2f} med {med*1e3:.2f} max {hi*1e3:.2f}"
+              f" ms/batch ({B/lo:.0f} utt/s best, {lo/B*1e6:.1f} us/utt)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,16 @@ def main(argv=None):
                 "--beam_logprob True")
         log.info("joint CTC/attention decoding, weight %.2f",
                  cfg.ctc_beam_weight)
+    elif cfg.ctc:
+        # measured on every healthy arm of the synth studies: a ctc_head
+        # checkpoint beam-decoded attention-only is the known-worst
+        # configuration (WER_SYNTH.md: att-only beam 0.1771 vs joint beam
+        # 0.0026 on the same checkpoint) — hint, don't refuse, because
+        # attention-only decode of a joint model is still a valid ablation
+        log.warning(
+            "checkpoint has a CTC head but joint scoring is OFF; the "
+            "measured-better decode is --beam_logprob True "
+            "--ctc_beam_weight 0.5 (see benchmarks/WER_SYNTH.md)")
     if cfg.apply_lm:
         from sample_lm import load_lm
         lm_params, lm_cfg, _, _ = load_lm(cfg.lm_dir)
