@@ -1,0 +1,65 @@
+#!/bin/bash
+# Flagship-at-reference-scale run (round 3, VERDICT ask #1): the
+# published-size model (enc 512x4 + 2 convs, dec 1024x2, loc attention —
+# reference run.sh:59-76) trained to 100k steps on the high-entropy
+# corpus with the joint-CTC recipe.  Round 2 localized the model's
+# failure to attention/decoder binding at a 12k-step budget (1/20th of
+# the reference's 262k); this tests the one remaining in-environment
+# hypothesis: that the transition needs reference-scale step counts.
+#
+# Schedule = the he-study flagship arm ("run-5": lr 1e-3, x0.5) with the
+# decay stretched ~8x to match the 8x step budget (decay from 16k every
+# 16k; lr at 100k ~ 1.5e-5, floor 1e-5), so the model spends the long
+# middle at a live learning rate instead of freezing at the floor by 15k.
+#
+# Stages: bash tools/he_flagship_100k.sh [train|eval|ctcprobe]...
+set -e -o pipefail
+cd "$(dirname "$0")/.."
+
+stages="${@:-train eval}"
+run_stage() { case " $stages " in *" $1 "*) return 0;; *) return 1;; esac; }
+
+data=data/synth_he
+work=exp/he
+mkdir -p $work
+
+common="--unit char --feat_type mfcc --feat_dim 13 --cmvn True
+  --train_100hr_corpus_dir $data/train
+  --dev_data_dir $data/dev --test_data_dir $data/test
+  --feat_dir $work/features --shard_dir $work/shards
+  --log_dir $work/log_f100k --summary_dir $work/summary_f100k"
+
+flagship="--enc_type cnn --enc_units 512 --num_enc_layers 4
+  --num_enc_channels 32 --dec_units 1024 --num_dec_layers 2
+  --embedding_size 256 --attention_size 128 --mode loc
+  --dropout_rate 0.0 --scheduled_sampling False --scan_unroll 4"
+
+if run_stage train; then
+  echo "=== flagship 100k: 40 epochs x 2500 steps ==="
+  tools/train_supervised.sh 48 -- \
+    python3 train.py $common $flagship --save_dir $work/model_f100k \
+      --ctc True --ctc_weight 0.2 \
+      --epoch 40 --steps_per_epoch 2500 \
+      --lr 1e-3 --lr_decay_start 16000 --lr_decay_step 16000 \
+      --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 25 \
+      --stall_timeout_s 900 \
+      --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 40
+fi
+
+eval_common="--use_saved_config True --scan_unroll 4
+  --convert_rate 0.25 --report_cer True"
+
+if run_stage eval; then
+  echo "=== greedy WER trajectory (dev): epochs 6..40 ==="
+  for e in 6 12 18 24 30 36 40; do
+    python3 test.py $common $eval_common --save_dir $work/model_f100k \
+      --split dev --restore_epoch $e | tail -2
+  done
+fi
+
+if run_stage ctcprobe; then
+  # encoder-health probe: CTC-greedy decode of the same checkpoint
+  e=${PROBE_EPOCH:-40}
+  python3 test.py $common $eval_common --save_dir $work/model_f100k \
+    --split dev --restore_epoch $e --ctc_greedy True | tail -2
+fi
