@@ -61,5 +61,5 @@ if run_stage ctcprobe; then
   # encoder-health probe: CTC-greedy decode of the same checkpoint
   e=${PROBE_EPOCH:-40}
   python3 test.py $common $eval_common --save_dir $work/model_f100k \
-    --split dev --restore_epoch $e --ctc_greedy True | tail -2
+    --split dev --restore_epoch $e --eval_decoder ctc_greedy | tail -2
 fi
