@@ -72,11 +72,11 @@ _SEMANTICS = "parallel"
 # 2.09 ms/batch): the kernel is MXU-bound, and folding does flen/fstride x
 # more MXU FLOPs.  Kept switchable for the probe's A/B record.
 _FOLDED = False
-# bf16x3 DFT matmuls: split operands into bf16 hi+lo and run 3 single-pass
-# bf16 matmuls (hi*hi + hi*lo + lo*hi) with f32 accumulation — half the
+# bf16x4 DFT matmuls: split operands into bf16 hi+lo and run 4 single-pass
+# bf16 matmuls (all hi/lo cross products) with f32 accumulation — 2/3 the
 # MXU passes of f32 HIGHEST (6x bf16), error ~1e-5 relative (golden-test
 # tolerance is 2e-4; measured max abs err vs XLA below it).
-_BF16X3 = True
+_BF16X4 = True
 
 
 from ..utils.numerics import cdiv as _cdiv
@@ -180,7 +180,7 @@ def _fused_kernel(featlen_ref, *refs, plan, T_pad: int, fft_length: int,
     seg_refs = refs[:plan["step"]]
     if _FOLDED:
         CJ_ref, SJ_ref, MEL_ref, DCT_ref, out_ref = refs[plan["step"]:]
-    elif _BF16X3:
+    elif _BF16X4:
         (Chi_ref, Clo_ref, Shi_ref, Slo_ref, PC_ref, PS_ref, MEL_ref,
          DCT_ref, out_ref) = refs[plan["step"]:]
     else:
@@ -233,7 +233,7 @@ def _fused_kernel(featlen_ref, *refs, plan, T_pad: int, fft_length: int,
         else:
             for r in range(step):
                 seg = seg_refs[r][u]                     # (Tseg, g)
-                if _BF16X3:
+                if _BF16X4:
                     sh = seg.astype(jnp.bfloat16)
                     sl = (seg - sh.astype(jnp.float32)).astype(jnp.bfloat16)
                     Ac.append(dot3(sh, sl, Chi_ref[:], Clo_ref[:]))
@@ -354,7 +354,7 @@ def fused_frontend(audio: jnp.ndarray, featlen: jnp.ndarray, *, flen: int,
     out_dim = 3 * feat_dim if apply_cmvn else feat_dim
     if _FOLDED:
         consts = [plan["CJ"], plan["SJ"], plan["MEL"], plan["DCT"]]
-    elif _BF16X3:
+    elif _BF16X4:
         consts = [plan["C_hi"], plan["C_lo"], plan["S_hi"], plan["S_lo"],
                   plan["PC"], plan["PS"], plan["MEL"], plan["DCT"]]
     else:

@@ -65,7 +65,7 @@ def main():
     # measurements; min estimates the uncontended kernel time, the
     # min..max spread shows the contention envelope.
     for U in (1, 2, 1, 2):  # interleaved twice: contention drift check
-        pk._SEMANTICS, pk._FOLDED, pk._BF16X3 = "parallel", False, True
+        pk._SEMANTICS, pk._FOLDED, pk._BF16X4 = "parallel", False, True
         jax.clear_caches()  # module flags are not jit cache keys
         try:
             dts = []
