@@ -32,6 +32,11 @@ for attempt in $(seq 1 "$max_attempts"); do
     0)  echo "[train_supervised] done" >&2; exit 0 ;;
     17) echo "[train_supervised] stall watchdog abort (rc 17)" >&2 ;;
     18) echo "[train_supervised] transient platform failure (rc 18)" >&2 ;;
+    # 137 = SIGKILL, in practice the kernel OOM killer (observed live: a
+    # multi-hour run's host RSS can be pushed over the edge by unrelated
+    # co-located work).  A fresh process resuming from the last epoch
+    # checkpoint releases all host memory, so retry is the right remedy.
+    137) echo "[train_supervised] SIGKILLed (host OOM?); resuming" >&2 ;;
     *)  echo "[train_supervised] non-retryable exit $rc; stopping" >&2
         exit "$rc" ;;
   esac
