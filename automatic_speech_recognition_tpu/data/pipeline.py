@@ -18,6 +18,7 @@ import queue
 import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
+import ml_dtypes
 import numpy as np
 
 from ..config import Config
@@ -96,6 +97,21 @@ class BucketedLoader:
         if use_native is None:
             use_native = shards_native.available()
         self.native = bool(use_native)
+        # Host->device feed dtype.  When the compute dtype is bfloat16 the
+        # first device-side op on feature batches is exactly
+        # `audio.astype(bfloat16)` (models/las.py compute_cast), so casting
+        # on the host instead is BIT-IDENTICAL (numpy/ml_dtypes and XLA both
+        # round-to-nearest-even) while halving transfer bytes.  On tunneled
+        # dev platforms that halves both the ~37 MB/s host->device feed time
+        # and the platform client's per-transfer host-memory retention
+        # (measured: RSS grows by exactly the bytes transferred; see
+        # docs/OPERATIONS.md "Host memory").  Raw-audio shards are excluded:
+        # there the on-device frontend consumes f32 waveforms BEFORE any
+        # compute cast, so a host-side downcast would change numerics.
+        self.feed_dtype = (ml_dtypes.bfloat16
+                           if cfg.dtype == "bfloat16"
+                           and not cfg.audio_shards
+                           else np.float32)
         reader_cls = (shards_native.NativeShardReader if self.native
                       else ShardReader)
         self._readers = {f: reader_cls(f) for f in self.files}
@@ -215,6 +231,8 @@ class BucketedLoader:
                 audiolen[row] = T
                 toks[row, :L] = tok[:L]
                 toklen[row] = L
+        if audio.dtype != self.feed_dtype:
+            audio = audio.astype(self.feed_dtype)
         return Batch((audio, audiolen, toks, toklen))
 
     def __iter__(self) -> Iterator[Batch]:

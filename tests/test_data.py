@@ -179,3 +179,52 @@ def test_batches_per_epoch_derivation(tmp_path, rng):
     assert sum(1 for _ in ev0) == 0
     assert BucketedLoader(paths, tiny, is_training=True
                           ).batches_per_epoch() == 1
+
+
+def test_bf16_feed_matches_device_cast(tmp_path, rng):
+    """Under --dtype bfloat16 the loader feeds bf16 feature batches; this
+    must be BIT-identical to feeding f32 and letting compute_cast downcast
+    on device (models/las.py compute_cast is the first consumer), since
+    numpy/ml_dtypes and XLA both round-to-nearest-even."""
+    import ml_dtypes
+    import jax.numpy as jnp
+
+    paths = _make_shards(tmp_path, rng)
+    base = dict(bucket_boundaries_train=(64,), bucket_boundaries_eval=(64,),
+                bucket_batch_sizes=(4,), max_tokenlen_train=12,
+                max_tokenlen_eval=12)
+    cfg_f32 = Config(**base)
+    cfg_bf16 = Config(dtype="bfloat16", **base)
+
+    b32 = [b for b in BucketedLoader(paths, cfg_f32, is_training=False,
+                                     seed=3)]
+    b16 = [b for b in BucketedLoader(paths, cfg_bf16, is_training=False,
+                                     seed=3)]
+    assert b32[0][0].dtype == np.float32
+    assert b16[0][0].dtype == ml_dtypes.bfloat16
+    for (a32, l32, t32, k32), (a16, l16, t16, k16) in zip(b32, b16):
+        # host bf16 cast == device bf16 cast, element for element
+        dev = jnp.asarray(a32).astype(jnp.bfloat16)
+        assert np.array_equal(np.asarray(dev), np.asarray(a16))
+        assert np.array_equal(l32, l16) and np.array_equal(t32, t16)
+
+
+def test_bf16_feed_excluded_for_audio_shards(tmp_path, rng):
+    """Raw-audio shards must keep f32 waveforms: the on-device frontend
+    consumes them BEFORE any compute cast, so a host downcast would
+    change numerics (not just re-order a cast)."""
+    from automatic_speech_recognition_tpu.data import shards
+
+    wavs = [rng.standard_normal((int(rng.integers(400, 800)), 1, 1))
+            .astype(np.float32) for _ in range(8)]
+    tokens = [np.asarray(rng.integers(1, 30, size=4), np.int32)
+              for _ in range(8)]
+    paths = shards.create_shards(wavs, tokens, str(tmp_path / "aw"),
+                                 records_per_shard=8, seed=0)
+    cfg = Config(dtype="bfloat16", audio_shards=True,
+                 bucket_boundaries_train=(8,), bucket_boundaries_eval=(8,),
+                 bucket_batch_sizes=(4,), max_tokenlen_train=8,
+                 max_tokenlen_eval=8)
+    loader = BucketedLoader(paths, cfg, is_training=False)
+    batch = next(iter(loader))
+    assert batch[0].dtype == np.float32
