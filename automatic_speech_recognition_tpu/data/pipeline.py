@@ -118,6 +118,20 @@ class BucketedLoader:
         geoms = {(r.feat_dim, r.channels) for r in self._readers.values()}
         if len(geoms) > 1:  # mixed shapes would corrupt batch assembly
             raise ValueError(f"shards disagree on feature geometry: {geoms}")
+        if not cfg.audio_shards:
+            # Refuse a stage-flag mismatch HERE with a readable message:
+            # model init sizes the first encoder layer from cfg.feat_dim,
+            # so a shard/config disagreement otherwise surfaces deep in
+            # the first forward as a cryptic einsum shape error (observed
+            # live: preprocess --feat_dim 13 + train left at the default
+            # 39 -> "Size of label 'u' ... does not match").
+            (D, C), = geoms
+            if D != cfg.feat_dim:
+                raise ValueError(
+                    f"shards carry feat_dim {D} but the config says "
+                    f"{cfg.feat_dim}; pass the SAME --feat_dim to every "
+                    "stage (preprocess/create_shards/train/test/decode) "
+                    "or use --use_saved_config True on the trained dir")
 
     @property
     def num_records(self) -> int:

@@ -68,7 +68,7 @@ def test_bucket_of():
 
 
 def test_bucketed_loader_shapes(tmp_path, rng):
-    cfg = Config(bucket_boundaries_train=(16, 32, 64),
+    cfg = Config(feat_dim=4, bucket_boundaries_train=(16, 32, 64),
                  bucket_boundaries_eval=(16, 32, 64),
                  bucket_batch_sizes=(4, 4, 4), max_tokenlen_train=12,
                  max_tokenlen_eval=12)
@@ -89,7 +89,7 @@ def test_bucketed_loader_shapes(tmp_path, rng):
 
 
 def test_bucketed_loader_train_repeats(tmp_path, rng):
-    cfg = Config(bucket_boundaries_train=(64,), bucket_boundaries_eval=(64,),
+    cfg = Config(feat_dim=4, bucket_boundaries_train=(64,), bucket_boundaries_eval=(64,),
                  bucket_batch_sizes=(8,), max_tokenlen_train=12)
     paths = _make_shards(tmp_path, rng)
     it = iter(BucketedLoader(paths, cfg, is_training=True, seed=1))
@@ -105,7 +105,7 @@ def test_empty_training_stream_refuses(tmp_path, rng):
     tokens = [np.asarray([1, 2], np.int32)]
     paths = shards.create_shards(feats, tokens, str(tmp_path / "tr"),
                                  records_per_shard=5, seed=0)
-    cfg = Config(bucket_boundaries_train=(16,), bucket_batch_sizes=(4,))
+    cfg = Config(feat_dim=4, bucket_boundaries_train=(16,), bucket_batch_sizes=(4,))
     with pytest.raises(ValueError, match="training stream is empty"):
         next(iter(BucketedLoader(paths, cfg, is_training=True)))
     # eval of the same corpus stays a quiet zero-batch pass
@@ -131,7 +131,7 @@ def test_per_bucket_token_padding(tmp_path, rng):
     """Token width follows the batch max rounded to token_pad_quantum
     (VERDICT: reference runs dec_steps = max(tokenlen) per batch,
     las/las.py:246-249) instead of always max_tokenlen."""
-    cfg = Config(bucket_boundaries_train=(64,), bucket_boundaries_eval=(64,),
+    cfg = Config(feat_dim=4, bucket_boundaries_train=(64,), bucket_boundaries_eval=(64,),
                  bucket_batch_sizes=(8,), max_tokenlen_train=219,
                  max_tokenlen_eval=219, token_pad_quantum=4)
     paths = _make_shards(tmp_path, rng)
@@ -150,7 +150,7 @@ def test_per_bucket_token_padding(tmp_path, rng):
 def test_batches_per_epoch_derivation(tmp_path, rng):
     """batches_per_epoch must equal per-bucket count // batch (train,
     partial batches carry over) and ceil (eval, leftovers flush)."""
-    cfg = Config(bucket_boundaries_train=(16, 32, 64),
+    cfg = Config(feat_dim=4, bucket_boundaries_train=(16, 32, 64),
                  bucket_boundaries_eval=(16, 32, 64),
                  bucket_batch_sizes=(4, 4, 4), max_tokenlen_train=12,
                  max_tokenlen_eval=12)
@@ -190,9 +190,9 @@ def test_bf16_feed_matches_device_cast(tmp_path, rng):
     import jax.numpy as jnp
 
     paths = _make_shards(tmp_path, rng)
-    base = dict(bucket_boundaries_train=(64,), bucket_boundaries_eval=(64,),
-                bucket_batch_sizes=(4,), max_tokenlen_train=12,
-                max_tokenlen_eval=12)
+    base = dict(feat_dim=4, bucket_boundaries_train=(64,),
+                bucket_boundaries_eval=(64,), bucket_batch_sizes=(4,),
+                max_tokenlen_train=12, max_tokenlen_eval=12)
     cfg_f32 = Config(**base)
     cfg_bf16 = Config(dtype="bfloat16", **base)
 
@@ -228,3 +228,16 @@ def test_bf16_feed_excluded_for_audio_shards(tmp_path, rng):
     loader = BucketedLoader(paths, cfg, is_training=False)
     batch = next(iter(loader))
     assert batch[0].dtype == np.float32
+
+
+def test_feat_dim_mismatch_refused(tmp_path, rng):
+    """A preprocess/train --feat_dim disagreement must be refused with a
+    readable message at loader construction, not surface as an einsum
+    shape error deep inside the first forward."""
+    import pytest
+
+    paths = _make_shards(tmp_path, rng)  # feat_dim 4
+    cfg = Config(feat_dim=39, bucket_boundaries_train=(64,),
+                 bucket_boundaries_eval=(64,), bucket_batch_sizes=(4,))
+    with pytest.raises(ValueError, match="feat_dim 4 but the config says 39"):
+        BucketedLoader(paths, cfg, is_training=False)

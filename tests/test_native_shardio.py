@@ -74,7 +74,7 @@ def test_corrupt_shard_rejected(tmp_path):
 
 def test_loader_backend_parity(shard_file):
     path, _, _ = shard_file
-    cfg = Config(bucket_boundaries_train=(40, 80), bucket_boundaries_eval=(40, 80),
+    cfg = Config(feat_dim=8, bucket_boundaries_train=(40, 80), bucket_boundaries_eval=(40, 80),
                  bucket_batch_sizes=(4, 4), max_tokenlen_train=16,
                  max_tokenlen_eval=16)
     batches_py = list(BucketedLoader([path], cfg, is_training=False,
