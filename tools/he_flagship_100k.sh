@@ -63,3 +63,20 @@ if run_stage ctcprobe; then
   python3 test.py $common $eval_common --save_dir $work/model_f100k \
     --split dev --restore_epoch $e --eval_decoder ctc_greedy | tail -2
 fi
+
+if run_stage final; then
+  echo "=== greedy WER (held-out test), final epoch ==="
+  python3 test.py $common $eval_common --save_dir $work/model_f100k \
+    --split test --restore_epoch 40 | tail -2
+fi
+
+if run_stage beam; then
+  # measured-recommended decode (WER_SYNTH.md): joint CTC + logprob beam
+  echo "=== joint-CTC beam-8 WER, final epoch ==="
+  for split in dev test; do
+    python3 decode.py $common $eval_common --save_dir $work/model_f100k \
+      --split $split --restore_epoch 40 --beam_size 8 \
+      --beam_logprob True --ctc_beam_weight 0.5 \
+      --stall_timeout_s 900 | tail -3
+  done
+fi
