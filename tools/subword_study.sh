@@ -60,6 +60,7 @@ fi
 if run_stage train; then
   # 12k-recipe schedule (28 x 750 steps); subword sequences are ~3x
   # shorter than char so the decoder scan is cheaper per step
+  tools/train_supervised.sh 48 -- \
   python3 train.py $common $model --ctc True --ctc_weight 0.2 \
     --epoch 28 --steps_per_epoch 750 \
     --lr 1e-3 --lr_decay_start 9000 --lr_decay_step 3000 \
