@@ -86,6 +86,64 @@ if run_stage final; then
 fi
 
 if run_stage beam; then
-  python3 decode.py $common $model --split dev --restore_epoch 28 \
-    --beam_size 8 --stall_timeout_s 900 | tee $work/beam_dev_E28.txt
+  # measured-recommended decode (WER_SYNTH.md): joint CTC + logprob beam
+  for split in dev test; do
+    python3 decode.py $common $model --split $split --restore_epoch 28 \
+      --ctc True --ctc_weight 0.2 \
+      --beam_size 8 --beam_logprob True --ctc_beam_weight 0.5 \
+      --stall_timeout_s 900 | tee $work/beam_${split}_E28.txt
+  done
+fi
+
+if run_stage train60; then
+  # Extended arm, the flagship-100k lesson applied (WER_SYNTH.md
+  # "Flagship at 100k steps"): the 28-epoch arm was still improving
+  # fast at budget end (greedy dev 1.00->0.52 over E22->E28) with the
+  # LR already decayed to 6e-5 — the same frozen-LR-through-binding
+  # failure mode.  60 epochs x 750 = 45k steps with the decay
+  # stretched to the budget (1e-3 live through 15k, x0.5 every 7.5k).
+  tools/train_supervised.sh 48 -- \
+  python3 train.py $common $model --ctc True --ctc_weight 0.2 \
+    --save_dir $work/model60 --summary_dir $work/summary60 \
+    --epoch 60 --steps_per_epoch 750 \
+    --lr 1e-3 --lr_decay_start 15000 --lr_decay_step 7500 \
+    --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 16 \
+    --stall_timeout_s 900 \
+    --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 12
+fi
+
+if run_stage eval60; then
+  for ep in 30 40 50 60; do
+    python3 test.py $common $model --save_dir $work/model60 \
+      --split dev --restore_epoch $ep --stall_timeout_s 900 \
+      --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 \
+      | tee $work/eval60_dev_E$ep.txt
+  done
+fi
+
+if run_stage final60; then
+  for split in dev test; do
+    python3 decode.py $common $model --save_dir $work/model60 \
+      --split $split --restore_epoch 60 \
+      --ctc True --ctc_weight 0.2 \
+      --beam_size 8 --beam_logprob True --ctc_beam_weight 0.5 \
+      --stall_timeout_s 900 | tee $work/beam60_${split}_E60.txt
+  done
+  python3 test.py $common $model --save_dir $work/model60 \
+    --split test --restore_epoch 60 --stall_timeout_s 900 \
+    --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 \
+    | tee $work/eval60_test_E60.txt
+  python3 test.py $common $model --save_dir $work/model60 \
+    --split dev --restore_epoch 60 \
+    --ctc True --ctc_weight 0.2 --eval_decoder ctc_greedy \
+    --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 \
+    | tee $work/ctcgreedy60_dev_E60.txt
+fi
+
+if run_stage ctcprobe; then
+  # encoder-health probe: CTC-greedy decode of the same checkpoint
+  python3 test.py $common $model --split dev --restore_epoch 28 \
+    --ctc True --ctc_weight 0.2 --eval_decoder ctc_greedy \
+    --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 \
+    | tee $work/ctcgreedy_dev_E28.txt
 fi
