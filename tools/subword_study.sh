@@ -113,7 +113,8 @@ if run_stage train60; then
 fi
 
 if run_stage eval60; then
-  for ep in 30 40 50 60; do
+  # max_to_keep 12 on the train60 stage retains epochs 49-60 only
+  for ep in 50 55 60; do
     python3 test.py $common $model --save_dir $work/model60 \
       --split dev --restore_epoch $ep --stall_timeout_s 900 \
       --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 \
