@@ -114,11 +114,13 @@ def location_apply(p: Dict, hidden, state, align, seqlen, h_proj=None,
         h_proj = precompute_hidden(p, hidden)
     if loc_proj is None:
         loc_proj = precompute_location(p, align.shape[1])
-    # one dot_general: (B, T) x (T, S, C) -> (B, S, C).  align rides the
-    # decoder carry in f32 (it is also the returned alignment); cast it
-    # to the hoisted matrix's compute dtype so a mixed f32 x bf16 dot
-    # does not promote to f32 matmul passes (measured 27.6 -> 21.7
-    # us/step at published size, benchmarks/decoder_profile.py)
+    # one dot_general: (B, T) x (T, S, C) -> (B, S, C).  In the trained
+    # scan and the beam loop the align carry already rides in the compute
+    # dtype (speller_apply inits it as enc_out.dtype), so this cast is a
+    # no-op there; it guards external callers (probe harnesses, notebooks)
+    # that pass an f32 alignment, where a mixed f32 x bf16 dot would
+    # silently promote to f32 matmul passes (~27% slower at published
+    # size, measured in benchmarks/decoder_profile.py's f32-carry harness)
     f = jnp.einsum("bt,tsc->bsc", align.astype(loc_proj.dtype),
                    loc_proj) + p["conv_b"]
     v = jnp.tanh(h_proj
