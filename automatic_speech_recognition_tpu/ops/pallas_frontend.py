@@ -293,20 +293,26 @@ def _fused_kernel(featlen_ref, *refs, plan, T_pad: int, fft_length: int,
 
 
 def _pick_utts_per_step(T_pad: int, Tseg: int, K: int, g: int, step: int,
-                        B: int) -> int:
+                        B: int, out_dim: int, const_bytes: int) -> int:
     """Largest U (utterances per grid step) whose VMEM live set fits.
 
     Per-U bytes: seg input blocks (double-buffered) and the lane-padded
-    output block.  The per-utterance working set (Ac/As, Xre/Xim, ps,
-    slices, Mosaic copies) is live for ONE utterance at a time — the
-    kernel computes utterances sequentially — so it is a fixed pool.
+    output block — padded to the REAL lane-rounded out_dim, not one lane
+    tile (fbank with feat_dim >= 43 under CMVN gives 3*feat_dim > 128,
+    where a fixed-_LANE model undercounts and overshoots U).  The
+    per-utterance working set (Ac/As, Xre/Xim, ps, slices, Mosaic
+    copies) is live for ONE utterance at a time — the kernel computes
+    utterances sequentially — so it is a fixed pool, plus the resident
+    constant blocks (whose footprint differs between the FOLDED /
+    bf16x4 / f32 variants; const_bytes carries the actual total).
     Budget 9 MB of the 16 MB scoped VMEM, empirically calibrated on v5e:
     U=2 at T=1000 compiles and runs, the earlier merged-matmul form
     (which kept U x Ac/As live) was rejected at the same shape."""
     per_u = 4 * (2 * step * Tseg * g       # seg blocks, double-buffered
-                 + T_pad * _LANE)          # output block (lane-padded)
-    fixed = 4 * (4 * Tseg * K              # Ac/As (cos+sin per residue)
-                 + 6 * T_pad * K)          # Xre/Xim/ps/slices/copies
+                 + T_pad * _round_up(out_dim, _LANE))  # output block
+    fixed = const_bytes + 4 * (
+        4 * Tseg * K                       # Ac/As (cos+sin per residue)
+        + 6 * T_pad * K)                   # Xre/Xim/ps/slices/copies
     budget = 9 * 1024 * 1024
     for u in (8, 4, 2):
         if u <= B and fixed + u * per_u <= budget:
@@ -337,8 +343,19 @@ def fused_frontend(audio: jnp.ndarray, featlen: jnp.ndarray, *, flen: int,
     B, S = audio.shape
     T_pad = _round_up(max(frames_max, 8), 8)
     Tseg = _round_up(T_pad + _cdiv(J - 1, step), 8)
+    out_dim = 3 * feat_dim if apply_cmvn else feat_dim
+    if _FOLDED:
+        consts = [plan["CJ"], plan["SJ"], plan["MEL"], plan["DCT"]]
+    elif _BF16X4:
+        consts = [plan["C_hi"], plan["C_lo"], plan["S_hi"], plan["S_lo"],
+                  plan["PC"], plan["PS"], plan["MEL"], plan["DCT"]]
+    else:
+        consts = [plan["C"], plan["S"], plan["PC"], plan["PS"],
+                  plan["MEL"], plan["DCT"]]
+    const_bytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize
+                      for c in consts)
     U = utts_per_step or _pick_utts_per_step(T_pad, Tseg, plan["K"], g,
-                                             step, B)
+                                             step, B, out_dim, const_bytes)
     B_pad = _round_up(B, U)
     need = g * step * (Tseg + 1)                     # what the reshape reads
     audio = jnp.pad(audio.astype(jnp.float32),
@@ -351,15 +368,6 @@ def fused_frontend(audio: jnp.ndarray, featlen: jnp.ndarray, *, flen: int,
         _fused_kernel, plan=plan, T_pad=T_pad, fft_length=fft_length,
         feat_type=feat_type, apply_cmvn=apply_cmvn, feat_dim=feat_dim,
         U=U, Tseg=Tseg)
-    out_dim = 3 * feat_dim if apply_cmvn else feat_dim
-    if _FOLDED:
-        consts = [plan["CJ"], plan["SJ"], plan["MEL"], plan["DCT"]]
-    elif _BF16X4:
-        consts = [plan["C_hi"], plan["C_lo"], plan["S_hi"], plan["S_lo"],
-                  plan["PC"], plan["PS"], plan["MEL"], plan["DCT"]]
-    else:
-        consts = [plan["C"], plan["S"], plan["PC"], plan["PS"],
-                  plan["MEL"], plan["DCT"]]
     full3 = lambda b, *_: (0,) * 3
     full2 = lambda b, *_: (0,) * 2
     Ksup_f = plan["MEL"].shape[1]

@@ -72,3 +72,42 @@ def place_state(mesh: Mesh, train_state, model_axis: str = "model"):
     """Device-put a host TrainState onto the mesh per the sharding rules."""
     sh = state_shardings(mesh, train_state, model_axis)
     return jax.tree_util.tree_map(jax.device_put, train_state, sh)
+
+
+def place_eval_params(mesh: Mesh, params, bn_state,
+                      model_axis: str = "model"):
+    """Device-put (params, bn_state) onto the mesh for sharded inference.
+
+    Params follow the same tensor-parallel rule as training
+    (param_spec); BN statistics replicate (they are per-feature
+    vectors).  Inference entry points (trainer.eval_forward,
+    decoding/beam.beam_search, decoding/ctc.ctc_greedy_decode) are plain
+    jax.jit programs, so placing their inputs is all it takes: jit
+    compiles one SPMD program over whatever mesh the committed input
+    shardings name, and GSPMD propagates the activation shardings —
+    the same mechanism make_mesh_train_step uses explicitly.  The
+    reference hardcodes a single device for eval and batch=1 beam decode
+    (reference test.py:24, decode.py:24, beam_search.py:70-72); this is
+    the beaten-path upgrade: one jitted eval/beam program over N cores.
+    """
+    model_size = mesh.shape[model_axis]
+    p = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, param_spec(x, model_size, model_axis))),
+        params)
+    rep = NamedSharding(mesh, P())
+    b = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), bn_state)
+    return p, b
+
+
+def place_data_batch(mesh: Mesh, arrays, data_axis: str = "data"):
+    """Device-put host arrays sharded along dim 0 over the data axis.
+    Every array's dim 0 must be divisible by the axis size — callers pad
+    partial batches up to a multiple first (pad_batch_to)."""
+    sh = NamedSharding(mesh, P(data_axis))
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def pad_batch_to(n: int, multiple: int) -> int:
+    """Rows a batch must be padded to so dim 0 shards evenly."""
+    return -(-n // max(multiple, 1)) * max(multiple, 1)

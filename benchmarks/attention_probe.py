@@ -51,6 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from automatic_speech_recognition_tpu.ops import attention, layers
+from automatic_speech_recognition_tpu.utils.kamp import reduce_dts
 
 
 def timed(fn, n=3):
@@ -81,7 +82,7 @@ def measure(body, args, carry0, K=4096, reps=3):
     for _ in range(reps):
         t1, tK = timed(f1), timed(fK)
         dts.append((tK - t1) / (K - 1))
-    return min(dts)
+    return reduce_dts(dts, what="attention_probe")[0]
 
 
 def main():

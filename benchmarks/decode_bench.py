@@ -36,6 +36,7 @@ from automatic_speech_recognition_tpu.config import Config
 from automatic_speech_recognition_tpu.decoding import beam as beam_lib
 from automatic_speech_recognition_tpu.models import char_rnn, las
 from automatic_speech_recognition_tpu.ops import quant
+from automatic_speech_recognition_tpu.utils.kamp import reduce_dts
 
 
 def timed(fn, n=3):
@@ -116,9 +117,7 @@ def main():
     for _ in range(3):
         t1, tK = timed(f1), timed(fK)
         dts.append((tK - t1) / (args.k_amp - 1))
-    dts = np.asarray(dts)
-    dt = float(np.median(dts))
-    spread = float((dts.max() - dts.min()) / dt) * 100.0
+    dt, spread = reduce_dts(dts, reducer="median", what="decode_bench")
     audio_s = args.batch * args.seconds
     print(f"beam={args.beam} lm={bool(args.apply_lm)} batch={args.batch} "
           f"q={args.quantize_decoder} {args.seconds:.0f}s utts: "

@@ -63,23 +63,39 @@ def main():
     # The tunneled chip is time-shared: device time itself varies ~25%
     # between windows.  Each variant therefore gets 3 paired (t1, tK)
     # measurements; min estimates the uncontended kernel time, the
-    # min..max spread shows the contention envelope.
-    for U in (1, 2, 1, 2):  # interleaved twice: contention drift check
-        pk._SEMANTICS, pk._FOLDED, pk._BF16X4 = "parallel", False, True
-        jax.clear_caches()  # module flags are not jit cache keys
-        try:
-            dts = []
-            for _ in range(3):
-                t1, tK = run(1, U), run(5, U)
-                dts.append((tK - t1) / 4)
-        except Exception as e:  # VMEM overflow at large U: record, move on
-            print(f"U={U}: FAILED {type(e).__name__}: {str(e)[:120]}",
-                  flush=True)
-            continue
-        lo, hi, med = min(dts), max(dts), float(np.median(dts))
-        print(f"U={U}: min {lo*1e3:.2f} med {med*1e3:.2f} max {hi*1e3:.2f}"
-              f" ms/batch ({B/lo:.0f} utt/s best, {lo/B*1e6:.1f} us/utt)",
-              flush=True)
+    # min..max spread shows the contention envelope.  The variant axis
+    # reproduces the A/Bs the kernel comments cite (pallas_frontend.py
+    # module flags): production bf16x4/parallel vs f32 DFT, FOLDED
+    # merged-matmul form, and "arbitrary" dimension semantics.
+    variants = [
+        ("prod bf16x4/parallel", "parallel", False, True),
+        ("f32 DFT", "parallel", False, False),
+        ("folded merged-matmul", "parallel", True, False),
+        ("arbitrary semantics", "arbitrary", False, True),
+    ]
+    for name, sem, folded, bf16x4 in variants:
+        for U in (1, 2):
+            pk._SEMANTICS, pk._FOLDED, pk._BF16X4 = sem, folded, bf16x4
+            jax.clear_caches()  # module flags are not jit cache keys
+            try:
+                dts = []
+                for _ in range(3):
+                    t1, tK = run(1, U), run(5, U)
+                    dts.append((tK - t1) / 4)
+            except Exception as e:  # VMEM overflow / Mosaic reject: record
+                print(f"{name} U={U}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+                continue
+            good = [d for d in dts if d > 0]
+            if not good:  # both windows can invert under contention
+                print(f"{name} U={U}: all samples non-positive "
+                      f"(contention inversion); rerun", flush=True)
+                continue
+            lo, hi, med = min(good), max(good), float(np.median(good))
+            print(f"{name} U={U}: min {lo*1e3:.2f} med {med*1e3:.2f} "
+                  f"max {hi*1e3:.2f} ms/batch ({B/lo:.0f} utt/s best, "
+                  f"{lo/B*1e6:.1f} us/utt)", flush=True)
+    pk._SEMANTICS, pk._FOLDED, pk._BF16X4 = "parallel", False, True
 
 
 if __name__ == "__main__":

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from automatic_speech_recognition_tpu.config import Config
 from automatic_speech_recognition_tpu.models import las
 from automatic_speech_recognition_tpu.training import trainer
+from automatic_speech_recognition_tpu.utils.kamp import reduce_dts
 
 
 def timed(fn, n=3):
@@ -91,7 +92,7 @@ def measure_train(cfg, batch, dec_steps, K, reps, seed=0):
     for _ in range(reps):
         t1, tK = timed(f1), timed(fK)
         dts.append((tK - t1) / (K - 1))
-    return min(dts)
+    return reduce_dts(dts, what="train_profile")[0]
 
 
 def measure_fwd(cfg, batch, dec_steps, K, reps, grad=False, enc_only=False,
@@ -137,7 +138,7 @@ def measure_fwd(cfg, batch, dec_steps, K, reps, grad=False, enc_only=False,
     for _ in range(reps):
         t1, tK = timed(f1), timed(fK)
         dts.append((tK - t1) / (K - 1))
-    return min(dts)
+    return reduce_dts(dts, what="train_profile")[0]
 
 
 def main():

@@ -166,18 +166,49 @@ def main(argv=None):
             lm_params = quant.quantize_lm(lm_params, lm_cfg)
         log.info("decoder weights quantized (%s)", cfg.quantize_decoder)
 
+    # SPMD beam decode over the training mesh: params by the
+    # tensor-parallel rule, utterance batches along 'data', the fused LM
+    # replicated — the beaten reference path is batch=1 on one hardcoded
+    # device (reference decode.py:24, beam_search.py:70-72).
+    params, bn_state = ts.params, ts.bn_state
+    dp = 1
+    if jax.process_count() == 1:
+        from automatic_speech_recognition_tpu.parallel import sharding as shd
+        from automatic_speech_recognition_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(num_partitions=cfg.num_partitions,
+                         data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+        dp = mesh.shape[cfg.data_axis]
+        params, bn_state = shd.place_eval_params(mesh, params, bn_state,
+                                                 cfg.model_axis)
+        if lm_params is not None:
+            lm_params, _ = shd.place_eval_params(mesh, lm_params, {},
+                                                 cfg.model_axis)
+        data_sh = lambda arrs: shd.place_data_batch(mesh, arrs,
+                                                    cfg.data_axis)
+        log.info("decode mesh: %s over %d devices", dict(mesh.shape),
+                 mesh.size)
+    else:
+        data_sh = lambda arrs: tuple(jax.numpy.asarray(a) for a in arrs)
+
     error, N, count = 0.0, 0, 0
     hyps, refs = [], []
     for audio, lens, ys in batch_iter(feats, tokens, cfg.decode_batch,
                                       cfg.decode_pad_quantum):
+        real_b = audio.shape[0]
+        padded_b = -(-real_b // dp) * dp  # shard dim 0 evenly
+        if padded_b > real_b:
+            pad = padded_b - real_b
+            audio = np.pad(audio, ((0, pad),) + ((0, 0),) * (audio.ndim - 1))
+            lens = np.pad(lens, (0, pad), constant_values=1)
+        audio_d, lens_d = data_sh((audio, lens))
         max_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
         res = beam_lib.beam_search(
-            ts.params, ts.bn_state, audio, lens, cfg,
+            params, bn_state, audio_d, lens_d, cfg,
             max_steps=max_steps, beam_size=cfg.beam_size,
             logprob=cfg.beam_logprob, lm_params=lm_params, lm_cfg=lm_cfg)
         toks = np.asarray(res.tokens)
         tlen = np.asarray(res.lengths)
-        for b in range(audio.shape[0]):
+        for b in range(real_b):
             hyp = convert_idx_to_string(toks[b, 0, :tlen[b, 0]],
                                         tokenizer.id_to_token, cfg.unit)
             ref = convert_idx_to_string(ys[b], tokenizer.id_to_token,

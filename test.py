@@ -90,6 +90,29 @@ def main(argv=None):
         ts = ts._replace(params=quant.maybe_quantize_params(ts.params, cfg))
         log.info("decoder weights quantized (%s)", cfg.quantize_decoder)
 
+    # SPMD eval over the same ('data','model') mesh training uses: params
+    # by the tensor-parallel rule, batches along 'data' (the reference
+    # evals on one hardcoded device, test.py:24).  Multi-process jobs
+    # keep the process-local path: eval batches are host-local numpy and
+    # the stitch (make_array_from_process_local_data) only pays off for
+    # training-scale step counts.
+    params, bn_state = ts.params, ts.bn_state
+    dp = 1
+    if jax.process_count() == 1:
+        from automatic_speech_recognition_tpu.parallel import sharding as shd
+        from automatic_speech_recognition_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(num_partitions=cfg.num_partitions,
+                         data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+        dp = mesh.shape[cfg.data_axis]
+        params, bn_state = shd.place_eval_params(mesh, params, bn_state,
+                                                 cfg.model_axis)
+        data_sh = lambda arrs: shd.place_data_batch(mesh, arrs,
+                                                    cfg.data_axis)
+        log.info("eval mesh: %s over %d devices", dict(mesh.shape),
+                 mesh.size)
+    else:
+        data_sh = lambda arrs: tuple(jax.numpy.asarray(a) for a in arrs)
+
     if cfg.audio_shards:
         from automatic_speech_recognition_tpu.ops import frontend
         featurize = jax.jit(
@@ -100,9 +123,13 @@ def main(argv=None):
     for batch in loader:
         audio, audiolen, ys, yslen = batch
         real_b = audio.shape[0]
-        # pad partial batches back up to the bucket's own static shape
+        # pad partial batches back up to the bucket's own static shape,
+        # rounded to a multiple of the data-parallel axis so dim 0
+        # shards evenly (padded rows carry audiolen=1 and are discarded
+        # below)
         cap = loader.batch_size_for(audio.shape[1]) or real_b
-        if real_b < cap:  # pad partial batches up to the bucket's own size
+        cap = -(-max(cap, real_b) // dp) * dp
+        if real_b < cap:
             pad = cap - real_b
             audio = np.pad(audio, ((0, pad),) + ((0, 0),) * (audio.ndim - 1))
             audiolen = np.pad(audiolen, (0, pad), constant_values=1)
@@ -112,14 +139,18 @@ def main(argv=None):
                 # dispatch per batch (the padded sample width is a bucket
                 # boundary, so shape keys stay one-per-bucket); inside the
                 # try so a failed batch is SKIPPED like any other eval
-                # dispatch failure, not fatal
+                # dispatch failure, not fatal.  Runs BEFORE the data
+                # sharding: the fused frontend is a Pallas call, which
+                # GSPMD cannot partition — the features are resharded
+                # onto the mesh afterwards (one device-to-device put).
                 audio, audiolen = featurize(jax.numpy.asarray(audio),
                                             jax.numpy.asarray(audiolen))
+            audio, audiolen = data_sh((audio, audiolen))
             dec_steps = max(int(cfg.convert_rate * audio.shape[1]), 1)
             if cfg.eval_decoder == "ctc_greedy":
                 from automatic_speech_recognition_tpu.decoding.ctc import \
                     ctc_greedy_decode
-                toks, lens = ctc_greedy_decode(ts.params, ts.bn_state,
+                toks, lens = ctc_greedy_decode(params, bn_state,
                                                audio, audiolen, cfg)
                 toks = np.asarray(jax.device_get(toks))
                 lens = np.asarray(jax.device_get(lens))
@@ -129,7 +160,7 @@ def main(argv=None):
                     np.arange(toks.shape[1])[None, :] < lens[:, None],
                     toks, 2)
             else:
-                _, y_hat = trainer.eval_forward(ts.params, ts.bn_state,
+                _, y_hat = trainer.eval_forward(params, bn_state,
                                                 audio, audiolen, cfg,
                                                 dec_steps)
         except Exception as e:  # reference skips bad eval batches silently

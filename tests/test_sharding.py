@@ -65,3 +65,57 @@ def test_sharded_step_matches_single_device(rng):
     losses["sharded"] = float(m["loss"])
     np.testing.assert_allclose(losses["single"], losses["sharded"],
                                rtol=1e-5)
+
+
+def _eval_setup(rng, num_partitions=1, ctc=False):
+    from automatic_speech_recognition_tpu.models import las
+    cfg = Config(**TINY, num_partitions=num_partitions, ctc=ctc,
+                 beam_logprob=True,
+                 ctc_beam_weight=0.5 if ctc else 0.0)
+    params, bn_state = las.las_init(jax.random.PRNGKey(0), cfg)
+    audio = rng.standard_normal((8, 32, 8, 3)).astype(np.float32)
+    audiolen = np.asarray([32, 30, 28, 32, 17, 32, 25, 32], np.int32)
+    return cfg, params, bn_state, audio, audiolen
+
+
+def test_sharded_eval_forward_matches_single_device(rng):
+    """Greedy eval over a dp4 x tp2 mesh must produce the same tokens as
+    the plain single-device forward (round-4: test.py routes through the
+    mesh; the reference hardcodes one device, test.py:24)."""
+    cfg, params, bn_state, audio, audiolen = _eval_setup(
+        rng, num_partitions=2)
+    logits1, y1 = trainer.eval_forward(params, bn_state,
+                                       jnp.asarray(audio),
+                                       jnp.asarray(audiolen), cfg,
+                                       dec_steps=10)
+    mesh = make_mesh(num_devices=8, num_partitions=2)
+    p, b = sh.place_eval_params(mesh, params, bn_state)
+    audio_d, audiolen_d = sh.place_data_batch(mesh, (audio, audiolen))
+    logits8, y8 = trainer.eval_forward(p, b, audio_d, audiolen_d, cfg,
+                                       dec_steps=10)
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits8),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y8))
+
+
+def test_sharded_beam_matches_single_device(rng):
+    """Beam-8 decode over the mesh must produce the same hypotheses as
+    the single-device program (decode.py's round-4 mesh routing; the
+    reference beam is batch=1 on one device, beam_search.py:70-72)."""
+    from automatic_speech_recognition_tpu.decoding import beam as beam_lib
+    cfg, params, bn_state, audio, audiolen = _eval_setup(
+        rng, num_partitions=2, ctc=True)
+    kw = dict(max_steps=10, beam_size=4, logprob=True)
+    r1 = beam_lib.beam_search(params, bn_state, jnp.asarray(audio),
+                              jnp.asarray(audiolen), cfg, **kw)
+    mesh = make_mesh(num_devices=8, num_partitions=2)
+    p, b = sh.place_eval_params(mesh, params, bn_state)
+    audio_d, audiolen_d = sh.place_data_batch(mesh, (audio, audiolen))
+    r8 = beam_lib.beam_search(p, b, audio_d, audiolen_d, cfg, **kw)
+    np.testing.assert_array_equal(np.asarray(r1.tokens),
+                                  np.asarray(r8.tokens))
+    np.testing.assert_array_equal(np.asarray(r1.lengths),
+                                  np.asarray(r8.lengths))
+    np.testing.assert_allclose(np.asarray(r1.scores),
+                               np.asarray(r8.scores), rtol=1e-4,
+                               atol=1e-5)
