@@ -10,38 +10,47 @@ set -euo pipefail
 stage="${1:-all}"
 
 # ---- recipe hyperparameters (reference run.sh:2-27) ----
-unit=subword
-size=5000
+# Every knob takes a RUN_*-prefixed environment override so the SAME
+# orchestration file drives at fixture scale under test
+# (tests/test_run_sh.py runs the full default chain on a synthesized
+# corpus); unset, the defaults ARE the published recipe.
+unit=${RUN_UNIT:-subword}
+size=${RUN_BPE_SIZE:-5000}
 feat_type=mfcc
-feat_dim=13
-enc_units=512
-dec_units=1024
-embedding_size=256
-attention_size=128
-num_enc_layers=4
-num_dec_layers=2
+feat_dim=${RUN_FEAT_DIM:-13}
+enc_units=${RUN_ENC_UNITS:-512}
+dec_units=${RUN_DEC_UNITS:-1024}
+embedding_size=${RUN_EMBEDDING_SIZE:-256}
+attention_size=${RUN_ATTENTION_SIZE:-128}
+num_enc_layers=${RUN_NUM_ENC_LAYERS:-4}
+num_dec_layers=${RUN_NUM_DEC_LAYERS:-2}
 mode=loc
 dropout_rate=0.0
-lr=1e-4
-epoch=100
+lr=${RUN_LR:-1e-4}
+epoch=${RUN_EPOCH:-100}
 grad_clip=5
-beam_size=8
-convert_rate=0.12
+beam_size=${RUN_BEAM_SIZE:-8}
+convert_rate=${RUN_CONVERT_RATE:-0.12}
+lm_epochs=${RUN_LM_EPOCHS:-10}
 
-feat_dir=data/LibriSpeech/features
-shard_dir=data/shards
-subword_dir=subword/
-save_dir=model/las/
-log_dir=log/
-lm_dir=lang/output/
+workdir=${RUN_WORKDIR:-.}
+feat_dir=$workdir/data/LibriSpeech/features
+shard_dir=$workdir/data/shards
+subword_dir=$workdir/subword/
+save_dir=$workdir/model/las/
+log_dir=$workdir/log/
+lm_dir=$workdir/lang/output/
 
+# RUN_EXTRA_FLAGS: appended verbatim (e.g. fixture corpus dirs, tiny
+# bucket tables); empty in the published recipe
 common_flags="--unit $unit --feat_type $feat_type --feat_dim $feat_dim \
   --enc_units $enc_units --dec_units $dec_units \
   --embedding_size $embedding_size --attention_size $attention_size \
   --num_enc_layers $num_enc_layers --num_dec_layers $num_dec_layers \
   --mode $mode --dropout_rate $dropout_rate --lr $lr --grad_clip $grad_clip \
   --feat_dir $feat_dir --shard_dir $shard_dir --subword_dir $subword_dir \
-  --save_dir $save_dir --log_dir $log_dir --lm_dir $lm_dir"
+  --save_dir $save_dir --log_dir $log_dir --lm_dir $lm_dir \
+  ${RUN_EXTRA_FLAGS:-}"
 
 run_stage() { [[ "$stage" == "all" || "$stage" == "$1" ]]; }
 
@@ -114,7 +123,7 @@ fi
 if run_stage lm; then
   echo "=== stage: train char RNNLM ==="
   python3 train_lm.py --data_file $subword_dir/corpus_all.txt \
-    --output_dir $lm_dir --num_epochs 10
+    --output_dir $lm_dir --num_epochs $lm_epochs ${RUN_LM_FLAGS:-}
 fi
 
 if run_stage decode; then
