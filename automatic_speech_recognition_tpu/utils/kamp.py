@@ -40,3 +40,34 @@ def reduce_dts(dts, reducer: str = "min", what: str = "bench"):
     dt = float(good.min() if reducer == "min" else np.median(good))
     spread = float((good.max() - good.min()) / dt) * 100.0
     return dt, spread
+
+
+def reduce_minmin(t1s, tKs, K: int, what: str = "bench"):
+    """Unbiased K-amplified reduction: dt = (min tK - min t1)/(K - 1).
+
+    Contention on the time-shared chip is strictly ADDITIVE on each
+    absolute timing, so min-over-windows of t1 and tK separately
+    estimate the uncontended times; differencing PAIRED windows instead
+    lets t1's noise enter with negative sign and biases the min of the
+    differences downward (bench.py measured 36-155% spread that way,
+    with "best" windows that were artifacts).  Spread = relative gap
+    between the same estimator computed on the even and odd window
+    subsets — the stability of the reported number.  Falls back to the
+    guarded paired reduction when even the min-min difference inverts.
+    """
+    t1s = np.asarray(list(t1s), dtype=np.float64)
+    tKs = np.asarray(list(tKs), dtype=np.float64)
+
+    def est(sel):
+        return (tKs[sel].min() - t1s[sel].min()) / (K - 1)
+
+    dt = float(est(slice(None)))
+    if dt <= 0:
+        return reduce_dts((tKs - t1s) / (K - 1), reducer="min",
+                          what=f"{what} (min-min inverted; paired fallback)")
+    if min(len(t1s), len(tKs)) >= 2:
+        halves = [est(slice(0, None, 2)), est(slice(1, None, 2))]
+        spread = abs(halves[0] - halves[1]) / dt * 100.0
+    else:
+        spread = float("nan")
+    return dt, spread

@@ -85,7 +85,7 @@ import jax
 import jax.numpy as jnp
 
 from automatic_speech_recognition_tpu.ops import frontend, frontend_host
-from automatic_speech_recognition_tpu.utils.kamp import reduce_dts
+from automatic_speech_recognition_tpu.utils.kamp import reduce_minmin
 
 SAMPLE_RATE = 16000
 UTT_SECONDS = 10.0
@@ -184,18 +184,7 @@ def bench_device(audio):
         t1s.append(_timed(lambda: f1(x)))
         tKs.append(_timed(lambda: fK(x)))
         _heartbeat()
-    t1s, tKs = np.asarray(t1s), np.asarray(tKs)
-
-    def est(sel):
-        return (tKs[sel].min() - t1s[sel].min()) / (K_AMP - 1)
-
-    dt = est(slice(None))
-    if dt <= 0:  # inverted windows even at the min: unusable run
-        dt, spread = reduce_dts((tKs - t1s) / (K_AMP - 1), reducer="min",
-                                what="bench.py device (fallback)")
-        return audio.shape[0] / dt, spread, dt
-    halves = [est(slice(0, None, 2)), est(slice(1, None, 2))]
-    spread = abs(halves[0] - halves[1]) / dt * 100.0
+    dt, spread = reduce_minmin(t1s, tKs, K_AMP, what="bench.py device")
     return audio.shape[0] / dt, spread, dt
 
 

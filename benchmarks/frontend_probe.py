@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from automatic_speech_recognition_tpu.ops import pallas_frontend as pk
+from automatic_speech_recognition_tpu.utils.kamp import reduce_minmin
 
 SR, SEC, B, D = 16000, 10.0, 128, 13
 FL, FS, NFFT, NMEL = 400, 160, 512, 40
@@ -78,23 +79,18 @@ def main():
             pk._SEMANTICS, pk._FOLDED, pk._BF16X4 = sem, folded, bf16x4
             jax.clear_caches()  # module flags are not jit cache keys
             try:
-                dts = []
+                t1s, tKs = [], []
                 for _ in range(3):
-                    t1, tK = run(1, U), run(5, U)
-                    dts.append((tK - t1) / 4)
+                    t1s.append(run(1, U)); tKs.append(run(5, U))
             except Exception as e:  # VMEM overflow / Mosaic reject: record
                 print(f"{name} U={U}: FAILED {type(e).__name__}: "
                       f"{str(e)[:120]}", flush=True)
                 continue
-            good = [d for d in dts if d > 0]
-            if not good:  # both windows can invert under contention
-                print(f"{name} U={U}: all samples non-positive "
-                      f"(contention inversion); rerun", flush=True)
-                continue
-            lo, hi, med = min(good), max(good), float(np.median(good))
-            print(f"{name} U={U}: min {lo*1e3:.2f} med {med*1e3:.2f} "
-                  f"max {hi*1e3:.2f} ms/batch ({B/lo:.0f} utt/s best, "
-                  f"{lo/B*1e6:.1f} us/utt)", flush=True)
+            dt, spread = reduce_minmin(t1s, tKs, 5,
+                                       what=f"frontend_probe {name} U={U}")
+            print(f"{name} U={U}: {dt*1e3:.2f} ms/batch "
+                  f"(min-min est, even/odd spread {spread:.1f}%; "
+                  f"{B/dt:.0f} utt/s, {dt/B*1e6:.1f} us/utt)", flush=True)
     pk._SEMANTICS, pk._FOLDED, pk._BF16X4 = "parallel", False, True
 
 
