@@ -73,14 +73,37 @@ arm_flags() {
     ctl)  echo "--scheduled_sampling False --dropout_rate 0.0";;
     ss)   echo "--scheduled_sampling True --warmup_step 100000
                 --max_step 112500 --min_rate 0.4 --dropout_rate 0.0";;
+    # gentler sampling ramp: the ss arm's 1.0->0.4 over 12.5k steps at
+    # lr 1e-4 destabilized training (gnorm 1e4-1e6, loss ~10 at tf 0.4);
+    # ss2 stretches the decay 4x (tf reaches ~0.85 by 115k) and drops
+    # the fine-tune lr to 3e-5 so the sampling shock stays trainable
+    ss2)  echo "--scheduled_sampling True --warmup_step 100000
+                --max_step 160000 --min_rate 0.4 --dropout_rate 0.0
+                --lr 3e-5";;
     do)   echo "--scheduled_sampling False --dropout_rate 0.2";;
     ssdo) echo "--scheduled_sampling True --warmup_step 100000
                 --max_step 112500 --min_rate 0.4 --dropout_rate 0.2";;
+    # VERDICT round-3 ask #1 arm (a): online waveform augmentation on
+    # the MXU (noise + speed perturb) to harden acoustics so the
+    # decoder's grammar cannot dominate; needs the raw-audio shards
+    # (stage aug_prep) because the frontend must run inside the jitted
+    # train step to see a different waveform every epoch
+    aug)  echo "--scheduled_sampling False --dropout_rate 0.0
+                --audio_shards True --shard_dir $work/shards_audio
+                --online_noise_perturb True --online_speed_perturb True";;
     *) echo "unknown arm $1" >&2; exit 2;;
   esac
 }
 
-for arm in ctl ss do ssdo; do
+if run_stage aug_prep; then
+  echo "=== aug arm prep: raw-waveform shards of the HE corpus (host) ==="
+  JAX_PLATFORMS=cpu python3 preprocess.py $common --audio_shards True \
+    --feat_dir $work/features_audio
+  JAX_PLATFORMS=cpu python3 create_shards.py $common --audio_shards True \
+    --feat_dir $work/features_audio --shard_dir $work/shards_audio
+fi
+
+for arm in ctl ss ss2 do ssdo aug; do
   if run_stage $arm; then
     dir=$work/model_ft_$arm
     echo "=== rescue arm $arm: fine-tune 100k -> 115k ==="
@@ -95,7 +118,7 @@ done
 eval_common="--use_saved_config True --scan_unroll 4
   --convert_rate 0.25 --report_cer True"
 
-for arm in ctl ss do ssdo; do
+for arm in ctl ss ss2 do ssdo aug; do
   if run_stage eval_$arm; then
     dir=$work/model_ft_$arm
     e=${EVAL_EPOCH:-46}
