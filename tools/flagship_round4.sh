@@ -23,6 +23,12 @@ work=exp/he
 model=$work/model_f100k
 lm=$work/lm/model_r4
 
+# Base epoch the single-checkpoint decodes restore and the average ends
+# at; defaults to the round-3 flagship's 40, override with BASE_EPOCH
+# when the base run was cut short (see tools/rescue_study.sh).
+BASE_EPOCH=${BASE_EPOCH:-40}
+avg_epochs=$(seq -s, $((BASE_EPOCH - 8)) $BASE_EPOCH)
+
 common="--unit char --feat_type mfcc --feat_dim 13 --cmvn True
   --train_100hr_corpus_dir $data/train
   --dev_data_dir $data/dev --test_data_dir $data/test
@@ -33,10 +39,10 @@ eval_common="--use_saved_config True --scan_unroll 4
   --convert_rate 0.25 --report_cer True"
 
 if run_stage avg; then
-  echo "=== average e32..e40 -> model_f100k_avg ==="
+  echo "=== average e$((BASE_EPOCH - 8))..e$BASE_EPOCH -> model_f100k_avg ==="
   python3 tools/average_checkpoints.py $common --save_dir $model \
     --use_saved_config True \
-    --avg_epochs 32,33,34,35,36,37,38,39,40 --avg_out ${model}_avg
+    --avg_epochs $avg_epochs --avg_out ${model}_avg
 fi
 
 if run_stage avg_eval; then
@@ -59,7 +65,7 @@ if run_stage lmsweep; then
   for lam in 0.05 0.1 0.3; do
     echo "=== joint-CTC beam-8 + LM lambda=$lam (dev) ==="
     python3 decode.py $common $eval_common --save_dir $model \
-      --split dev --restore_epoch 40 --beam_size 8 --beam_logprob True \
+      --split dev --restore_epoch $BASE_EPOCH --beam_size 8 --beam_logprob True \
       --ctc_beam_weight 0.5 --apply_lm True --lm_dir $lm \
       --lm_weight $lam --stall_timeout_s 900 | tail -3
   done
@@ -69,7 +75,7 @@ if run_stage lmtest; then
   lam=${LM_LAMBDA:-0.1}
   echo "=== joint-CTC beam-8 + LM lambda=$lam (test) ==="
   python3 decode.py $common $eval_common --save_dir $model \
-    --split test --restore_epoch 40 --beam_size 8 --beam_logprob True \
+    --split test --restore_epoch $BASE_EPOCH --beam_size 8 --beam_logprob True \
     --ctc_beam_weight 0.5 --apply_lm True --lm_dir $lm \
     --lm_weight $lam --stall_timeout_s 900 | tail -3
 fi

@@ -35,13 +35,20 @@ flagship="--enc_type cnn --enc_units 512 --num_enc_layers 4
   --dropout_rate 0.0 --scheduled_sampling False --scan_unroll 4"
 
 if run_stage train; then
-  echo "=== flagship 100k: 40 epochs x 2500 steps ==="
+  # EPOCHS/K env overrides (round 4): the wiped-disk retrain runs the
+  # identical recipe but may be cut at an intermediate epoch for
+  # wall-clock (every epoch checkpoints, so any prefix is usable), and
+  # K=50 halves the tunnel's per-dispatch overhead vs round 3's 25
+  # (~1.4 s/dispatch; co-located hosts don't pay it at all).
+  epochs=${EPOCHS:-40}
+  k=${K:-50}
+  echo "=== flagship 100k: $epochs epochs x 2500 steps (K=$k) ==="
   tools/train_supervised.sh 48 -- \
     python3 train.py $common $flagship --save_dir $work/model_f100k \
       --ctc True --ctc_weight 0.2 \
-      --epoch 40 --steps_per_epoch 2500 \
+      --epoch $epochs --steps_per_epoch 2500 \
       --lr 1e-3 --lr_decay_start 16000 --lr_decay_step 16000 \
-      --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 25 \
+      --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch $k \
       --stall_timeout_s 900 \
       --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 40
 fi

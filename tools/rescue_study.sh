@@ -40,6 +40,15 @@ data=data/synth_he
 work=exp/he
 base=$work/model_f100k
 
+# The base checkpoint the arms fine-tune from.  Default 40 (= step 100k,
+# the round-3 flagship); BASE_EPOCH lets a shorter base run seed the
+# arms when wall-clock forces cutting the base early — the design stays
+# controlled because every arm shares the SAME base and budget, only the
+# absolute step numbers shift.
+BASE_EPOCH=${BASE_EPOCH:-40}
+base_step=$((BASE_EPOCH * 2500))
+ft_epochs=$((BASE_EPOCH + 6))
+
 common="--unit char --feat_type mfcc --feat_dim 13 --cmvn True
   --train_100hr_corpus_dir $data/train
   --dev_data_dir $data/dev --test_data_dir $data/test
@@ -56,33 +65,36 @@ flagship="--enc_type cnn --enc_units 512 --num_enc_layers 4
 # dir; a supervisor retry resumes the arm's own newest epoch instead of
 # rewinding to 40
 ft_sched="--lr 1e-4 --lr_decay_start 1000000000
-  --epoch 46 --steps_per_epoch 2500
+  --epoch $ft_epochs --steps_per_epoch 2500
   --ctc True --ctc_weight 0.2 --dtype bfloat16 --steps_per_dispatch 25
   --stall_timeout_s 900
   --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 10"
 
-seed_arm() {  # seed_arm <dir>: hardlink the step-100k checkpoint in
+seed_arm() {  # seed_arm <dir>: hardlink the base-epoch checkpoint in
   local dir=$1
   mkdir -p "$dir"
-  [ -e "$dir/40" ] || cp -al "$base/40" "$dir/40"
+  [ -e "$dir/$BASE_EPOCH" ] || cp -al "$base/$BASE_EPOCH" "$dir/$BASE_EPOCH"
   cp -f "$base/config.json" "$dir/config.json"
 }
 
 arm_flags() {
   case $1 in
     ctl)  echo "--scheduled_sampling False --dropout_rate 0.0";;
-    ss)   echo "--scheduled_sampling True --warmup_step 100000
-                --max_step 112500 --min_rate 0.4 --dropout_rate 0.0";;
+    ss)   echo "--scheduled_sampling True --warmup_step $base_step
+                --max_step $((base_step + 12500)) --min_rate 0.4
+                --dropout_rate 0.0";;
     # gentler sampling ramp: the ss arm's 1.0->0.4 over 12.5k steps at
-    # lr 1e-4 destabilized training (gnorm 1e4-1e6, loss ~10 at tf 0.4);
-    # ss2 stretches the decay 4x (tf reaches ~0.85 by 115k) and drops
-    # the fine-tune lr to 3e-5 so the sampling shock stays trainable
-    ss2)  echo "--scheduled_sampling True --warmup_step 100000
-                --max_step 160000 --min_rate 0.4 --dropout_rate 0.0
-                --lr 3e-5";;
+    # lr 1e-4 destabilized training (gnorm 1e4-1e6, loss ~10 at tf 0.4;
+    # measured pre-wipe on the round-3 checkpoint); ss2 stretches the
+    # decay 4x (tf reaches ~0.85 by base+15k) and drops the fine-tune lr
+    # to 3e-5 so the sampling shock stays trainable
+    ss2)  echo "--scheduled_sampling True --warmup_step $base_step
+                --max_step $((base_step + 60000)) --min_rate 0.4
+                --dropout_rate 0.0 --lr 3e-5";;
     do)   echo "--scheduled_sampling False --dropout_rate 0.2";;
-    ssdo) echo "--scheduled_sampling True --warmup_step 100000
-                --max_step 112500 --min_rate 0.4 --dropout_rate 0.2";;
+    ssdo) echo "--scheduled_sampling True --warmup_step $base_step
+                --max_step $((base_step + 12500)) --min_rate 0.4
+                --dropout_rate 0.2";;
     # VERDICT round-3 ask #1 arm (a): online waveform augmentation on
     # the MXU (noise + speed perturb) to harden acoustics so the
     # decoder's grammar cannot dominate; needs the raw-audio shards
@@ -121,7 +133,7 @@ eval_common="--use_saved_config True --scan_unroll 4
 for arm in ctl ss ss2 do ssdo aug; do
   if run_stage eval_$arm; then
     dir=$work/model_ft_$arm
-    e=${EVAL_EPOCH:-46}
+    e=${EVAL_EPOCH:-$ft_epochs}
     echo "=== arm $arm epoch $e: greedy (dev) ==="
     python3 test.py $common $eval_common --save_dir "$dir" \
       --split dev --restore_epoch $e | tail -2
