@@ -41,13 +41,18 @@ arm="--enc_type cnn --enc_units 512 --num_enc_layers 4
   --dropout_rate 0.0 --scheduled_sampling False --scan_unroll 4"
 
 if run_stage train; then
-  echo "=== dec-512 sweep arm: 40 epochs x 2500 steps ==="
+  # EPOCHS/K envs mirror he_flagship_100k.sh: the wiped-disk round-4
+  # retrain cuts both runs at the SAME epoch so the dec-512-vs-1024
+  # comparison stays budget-matched even when wall-clock forces < 40.
+  epochs=${EPOCHS:-40}
+  k=${K:-50}
+  echo "=== dec-512 sweep arm: $epochs epochs x 2500 steps (K=$k) ==="
   tools/train_supervised.sh 48 -- \
     python3 train.py $common $arm --save_dir $model \
       --ctc True --ctc_weight 0.2 \
-      --epoch 40 --steps_per_epoch 2500 \
+      --epoch $epochs --steps_per_epoch 2500 \
       --lr 1e-3 --lr_decay_start 16000 --lr_decay_step 16000 \
-      --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 25 \
+      --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch $k \
       --stall_timeout_s 900 \
       --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 40
 fi

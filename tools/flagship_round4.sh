@@ -38,6 +38,20 @@ common="--unit char --feat_type mfcc --feat_dim 13 --cmvn True
 eval_common="--use_saved_config True --scan_unroll 4
   --convert_rate 0.25 --report_cer True"
 
+if run_stage lm; then
+  # Char RNNLM for the fusion sweep: the round-3 recipe (2xLSTM-512 on
+  # the train-split transcripts, host CPU — the text is ~0.4 MB) with
+  # best-model tracking into result.json, which decode.py --lm_dir reads.
+  echo "=== LM: concat train transcripts -> train 2xLSTM-512 ==="
+  mkdir -p $work/lm
+  find $data/train -name '*.trans.txt' | sort | xargs cat \
+    | cut -d' ' -f2- > $work/lm/corpus.txt
+  wc -c $work/lm/corpus.txt
+  JAX_PLATFORMS=cpu python3 train_lm.py --data_file $work/lm/corpus.txt \
+    --hidden_size 512 --num_layers 2 --model lstm \
+    --num_epochs "${LM_EPOCHS:-12}" --output_dir $lm
+fi
+
 if run_stage avg; then
   echo "=== average e$((BASE_EPOCH - 8))..e$BASE_EPOCH -> model_f100k_avg ==="
   python3 tools/average_checkpoints.py $common --save_dir $model \
