@@ -57,6 +57,10 @@ if run_stage avg; then
   python3 tools/average_checkpoints.py $common --save_dir $model \
     --use_saved_config True \
     --avg_epochs $avg_epochs --avg_out ${model}_avg
+  # the averaged dir is a fresh save_dir: give it the source's config
+  # snapshot so avg_eval's --use_saved_config resolves (config.load_saved
+  # raises on a missing snapshot by design)
+  cp -f $model/config.json ${model}_avg/config.json
 fi
 
 if run_stage avg_eval; then
