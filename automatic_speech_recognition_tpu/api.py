@@ -36,17 +36,20 @@ class Recognizer:
     """Trained LAS model + tokenizer + (optional) fusion LM."""
 
     def __init__(self, params, bn_state, cfg: Config, tokenizer,
-                 lm_params=None, lm_cfg=None):
+                 lm_params=None, lm_cfg=None, mesh=None):
         self.params = params
         self.bn_state = bn_state
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.lm_params = lm_params
         self.lm_cfg = lm_cfg
+        self.mesh = mesh
+        self._dp = mesh.shape[cfg.data_axis] if mesh is not None else 1
 
     @classmethod
     def from_checkpoint(cls, save_dir: str, cfg: Config,
-                        epoch: int = -1, lm_dir: str = "") -> "Recognizer":
+                        epoch: int = -1, lm_dir: str = "",
+                        use_mesh: bool = True) -> "Recognizer":
         tokenizer = get_tokenizer(cfg.unit, cfg.subword_dir)
         cfg = cfg.replace(vocab_size=tokenizer.get_vocab_size())
         ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
@@ -71,8 +74,27 @@ class Recognizer:
         params = quant.maybe_quantize_params(restored.params, cfg)
         if lm_params is not None and cfg.quantize_decoder != "none":
             lm_params = quant.quantize_lm(lm_params, lm_cfg)
-        return cls(params, restored.bn_state, cfg, tokenizer,
-                   lm_params, lm_cfg)
+        bn_state = restored.bn_state
+        # SPMD serving over the same ('data','model') mesh the offline
+        # drivers use (test.py/decode.py): params by the tensor-parallel
+        # rule, request batches along 'data', fusion LM replicated.  The
+        # reference serves nothing and hardcodes one device everywhere
+        # (reference test.py:24, decode.py:24); a 1-device mesh is the
+        # degenerate case and costs nothing.
+        mesh = None
+        if use_mesh and jax.process_count() == 1:
+            from .parallel import sharding as shd
+            from .parallel.mesh import make_mesh
+            mesh = make_mesh(num_partitions=cfg.num_partitions,
+                             data_axis=cfg.data_axis,
+                             model_axis=cfg.model_axis)
+            params, bn_state = shd.place_eval_params(mesh, params, bn_state,
+                                                     cfg.model_axis)
+            if lm_params is not None:
+                lm_params, _ = shd.place_eval_params(mesh, lm_params, {},
+                                                     cfg.model_axis)
+        return cls(params, bn_state, cfg, tokenizer,
+                   lm_params, lm_cfg, mesh=mesh)
 
     def _features(self, signals: Sequence[np.ndarray],
                   pad_seconds: int = 0):
@@ -95,7 +117,21 @@ class Recognizer:
                            pad_seconds: int = 0) -> List[str]:
         """signals: float waveforms at cfg.sample_rate.
         beam_size 0/1 -> greedy; >1 -> on-device beam search."""
+        n = len(signals)
+        if self._dp > 1 and n % self._dp:
+            # pad the request batch so dim 0 shards evenly over 'data';
+            # pad rows are 1-sample silence (featlen ~ 1) and their
+            # hypotheses are sliced off below
+            from .parallel import sharding as shd
+            signals = list(signals) + [np.zeros(1, np.float32)] * (
+                shd.pad_batch_to(n, self._dp) - n)
         feats, featlen = self._features(signals, pad_seconds)
+        if self.mesh is not None:
+            # the fused frontend is a Pallas call GSPMD cannot partition;
+            # reshard its output onto the mesh (device-to-device put)
+            from .parallel import sharding as shd
+            feats, featlen = shd.place_data_batch(
+                self.mesh, (feats, featlen), self.cfg.data_axis)
         max_steps = max(int(self.cfg.convert_rate * feats.shape[1]), 1)
         if beam_size and beam_size > 1:
             res = beam_lib.beam_search(
@@ -105,13 +141,13 @@ class Recognizer:
                 lm_params=self.lm_params, lm_cfg=self.lm_cfg)
             toks = np.asarray(res.tokens)
             tlen = np.asarray(res.lengths)
-            ids = [toks[i, 0, :tlen[i, 0]] for i in range(len(signals))]
+            ids = [toks[i, 0, :tlen[i, 0]] for i in range(n)]
         else:
             _, y_hat = trainer.eval_forward(self.params, self.bn_state,
                                             feats, featlen, self.cfg,
                                             max_steps)
             y_hat = np.asarray(y_hat)
-            ids = [y_hat[i] for i in range(len(signals))]
+            ids = [y_hat[i] for i in range(n)]
         return [convert_idx_to_string(x, self.tokenizer.id_to_token,
                                       self.cfg.unit) for x in ids]
 

@@ -41,6 +41,31 @@ def test_recognizer_transcribe(tmp_path, rng):
     assert beam == singles
 
 
+def test_recognizer_mesh_matches_single_device(tmp_path, rng):
+    """Serving over the 8-device ('data','model') mesh returns exactly the
+    single-device transcripts, greedy and beam, including request batches
+    that do not divide the data axis (padding rows sliced off)."""
+    cfg = CFG.replace(vocab_size=30)
+    ts = trainer.create_train_state(jax.random.PRNGKey(0), cfg)
+    CheckpointManager(str(tmp_path / "model")).save(1, jax.device_get(ts))
+
+    paths = []
+    for i, sec in enumerate((0.4, 0.9, 0.6)):  # 3 files: 3 % 8 != 0
+        p = str(tmp_path / f"m{i}.wav")
+        write_wav(p, rng.standard_normal(int(16000 * sec)) * 0.1, 16000)
+        paths.append(p)
+
+    meshed = Recognizer.from_checkpoint(str(tmp_path / "model"), CFG)
+    single = Recognizer.from_checkpoint(str(tmp_path / "model"), CFG,
+                                        use_mesh=False)
+    assert meshed.mesh is not None and meshed.mesh.size == jax.device_count()
+    assert single.mesh is None
+    for beam in (0, 3):
+        got = meshed.transcribe(paths, beam_size=beam, batch_size=3)
+        want = single.transcribe(paths, beam_size=beam, batch_size=3)
+        assert got == want
+
+
 def test_recognizer_missing_checkpoint(tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
