@@ -9,7 +9,7 @@
 #                    att-only number is the published-decode-mode anchor
 #                    every rescue arm is read against
 #                    (/root/reference/run.sh:79-93).
-#   2. avg           checkpoint-average e22..e30 + the same three dev
+#   2. avg           checkpoint-average e$((BASE_EPOCH-8))..e$BASE_EPOCH + the same three dev
 #                    decodes (VERDICT ask #7)
 #   3. lmsweep       LM shallow fusion composed with joint-CTC beam-8,
 #                    lambda in {0.05,0.1,0.3} on dev (ask #4)
@@ -23,7 +23,8 @@
 # does not kill the stages after it.
 set -u
 cd "$(dirname "$0")/.."
-export BASE_EPOCH=30
+export BASE_EPOCH=${BASE_EPOCH:-22}
+FT_EPOCH=$((BASE_EPOCH + 6))
 
 log() { echo "[post_base $(date +%H:%M:%S)] $*"; }
 
@@ -56,17 +57,17 @@ eval_common="--use_saved_config True --scan_unroll 4
 
 # 1. base anchors at e30
 stage base_greedy_dev python3 test.py $common $eval_common \
-  --save_dir $model --split dev --restore_epoch 30
+  --save_dir $model --split dev --restore_epoch $BASE_EPOCH
 stage base_attbeam_dev python3 decode.py $common $eval_common \
-  --save_dir $model --split dev --restore_epoch 30 --beam_size 8 \
+  --save_dir $model --split dev --restore_epoch $BASE_EPOCH --beam_size 8 \
   --beam_logprob True --stall_timeout_s 900
 stage base_jointbeam_dev python3 decode.py $common $eval_common \
-  --save_dir $model --split dev --restore_epoch 30 --beam_size 8 \
+  --save_dir $model --split dev --restore_epoch $BASE_EPOCH --beam_size 8 \
   --beam_logprob True --ctc_beam_weight 0.5 --stall_timeout_s 900
 stage base_greedy_test python3 test.py $common $eval_common \
-  --save_dir $model --split test --restore_epoch 30
+  --save_dir $model --split test --restore_epoch $BASE_EPOCH
 stage base_jointbeam_test python3 decode.py $common $eval_common \
-  --save_dir $model --split test --restore_epoch 30 --beam_size 8 \
+  --save_dir $model --split test --restore_epoch $BASE_EPOCH --beam_size 8 \
   --beam_logprob True --ctc_beam_weight 0.5 --stall_timeout_s 900
 
 # 2. checkpoint averaging (ask #7)
@@ -80,9 +81,9 @@ stage lmsweep bash tools/flagship_round4.sh lmsweep
 
 # 4-5. rescue arms, highest-priority first (ask #1)
 stage rescue_aug bash tools/rescue_study.sh aug
-stage rescue_aug_eval env EVAL_EPOCH=36 bash tools/rescue_study.sh eval_aug
+stage rescue_aug_eval env EVAL_EPOCH=$FT_EPOCH bash tools/rescue_study.sh eval_aug
 stage rescue_ss2 bash tools/rescue_study.sh ss2
-stage rescue_ss2_eval env EVAL_EPOCH=36 bash tools/rescue_study.sh eval_ss2
+stage rescue_ss2_eval env EVAL_EPOCH=$FT_EPOCH bash tools/rescue_study.sh eval_ss2
 
 # 6. pBLSTM study arm (ask #5)
 stage pblstm_train bash tools/pblstm_study.sh train
@@ -90,7 +91,7 @@ stage pblstm_eval bash tools/pblstm_study.sh eval
 
 # 7-8. lower-priority tail
 stage rescue_do bash tools/rescue_study.sh do
-stage rescue_do_eval env EVAL_EPOCH=36 bash tools/rescue_study.sh eval_do
+stage rescue_do_eval env EVAL_EPOCH=$FT_EPOCH bash tools/rescue_study.sh eval_do
 stage lmtest bash tools/flagship_round4.sh lmtest
 
 log "chain complete"
