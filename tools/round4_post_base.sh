@@ -44,6 +44,15 @@ while kill -0 "$(cat /tmp/base_train.pid)" 2>/dev/null; do sleep 30; done
 log "base train done"
 tail -2 logs_r4/base_train.log
 
+# If wall-clock cut the train short, rebase every stage on the newest
+# checkpoint that actually exists (each epoch saves, so any prefix works).
+latest=$(ls exp/he/model_f100k 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
+if [ -n "$latest" ] && [ "$latest" -lt "$BASE_EPOCH" ]; then
+  log "train cut early: rebasing stages on epoch $latest (wanted $BASE_EPOCH)"
+  export BASE_EPOCH=$latest
+  FT_EPOCH=$((BASE_EPOCH + 6))
+fi
+
 data=data/synth_he
 work=exp/he
 model=$work/model_f100k
