@@ -308,6 +308,16 @@ class Config:
     # above the first dispatch's compile time on remote-compiled
     # platforms (recommend >= 900 there).  0 = off.
     stall_timeout_s: int = 0
+    # training-health trend alarms (training/monitor.py): warn when the
+    # smoothed loss has not improved past monitor_plateau_frac of its
+    # early value by monitor_min_step, or when teacher-forced att_peak
+    # rises and then collapses without binding (the round-4 dead-basin
+    # signature).  monitor_abort exits with code 19 (DIVERGED — not
+    # retryable, unlike stall 17 / transient 18) on first alarm.
+    monitor_binding: bool = True
+    monitor_min_step: int = 10000
+    monitor_plateau_frac: float = 0.7
+    monitor_abort: bool = False
     seed: int = 0
     vocab_size: int = 0                   # filled from tokenizer at runtime
     steps_per_epoch: int = 0              # 0 = derive from dataset size

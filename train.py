@@ -34,6 +34,7 @@ from automatic_speech_recognition_tpu.data.pipeline import (
 from automatic_speech_recognition_tpu.parallel.mesh import make_mesh
 from automatic_speech_recognition_tpu.parallel.distributed import (
     maybe_initialize)
+from automatic_speech_recognition_tpu.training import monitor as monitor_lib
 from automatic_speech_recognition_tpu.training import trainer
 from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
 from automatic_speech_recognition_tpu.utils import summary as summary_lib
@@ -120,6 +121,12 @@ def main(argv=None):
              mesh.size, jax.devices()[0].platform)
 
     primary = jax.process_index() == 0
+    # dead-basin trend alarms over the same scalars this loop logs
+    # (training/monitor.py; primary only — metrics are replicated)
+    monitor = (monitor_lib.BindingMonitor(
+                   min_step=cfg.monitor_min_step,
+                   plateau_frac=cfg.monitor_plateau_frac)
+               if cfg.monitor_binding and primary else None)
     ts = trainer.create_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     ckpt = CheckpointManager(cfg.save_dir, max_to_keep=cfg.max_to_keep)
     # refuse to resume with model flags that contradict the directory's
@@ -298,6 +305,19 @@ def main(argv=None):
             writer.scalar("train/loss", m["loss"], global_step)
             writer.scalar("train/att_peak", m["att_peak"], global_step)
             writer.scalar("train/steps_per_sec", sps, global_step)
+            if monitor is not None:
+                for alarm in monitor.update(global_step, float(m["loss"]),
+                                            float(m["att_peak"])):
+                    log.warning("training-health monitor: %s", alarm)
+                    writer.scalar("train/monitor_alarm", 1.0, global_step)
+                    if cfg.monitor_abort:
+                        epoch = max(1, global_step // steps_per_epoch + 1)
+                        ckpt.save(epoch, jax.device_get(ts))
+                        log.error("monitor_abort: checkpoint saved at step "
+                                  "%d; exiting %d (diverged — supervisors "
+                                  "should NOT retry this configuration)",
+                                  global_step, monitor_lib.DIVERGED_EXIT_CODE)
+                        sys.exit(monitor_lib.DIVERGED_EXIT_CODE)
             if not np.isnan(m["lr"]):
                 writer.scalar("train/lr", m["lr"], global_step)
                 writer.scalar("train/tf_rate", m["tf_rate"], global_step)
