@@ -47,7 +47,9 @@ base=$work/model_f100k
 # absolute step numbers shift.
 BASE_EPOCH=${BASE_EPOCH:-40}
 base_step=$((BASE_EPOCH * 2500))
-ft_epochs=$((BASE_EPOCH + 6))
+# FT_EXTRA: fine-tune budget in epochs (x2500 steps); 6 = the designed
+# +15k-step window, smaller values trade statistical power for wall-clock
+ft_epochs=$((BASE_EPOCH + ${FT_EXTRA:-6}))
 
 common="--unit char --feat_type mfcc --feat_dim 13 --cmvn True
   --train_100hr_corpus_dir $data/train

@@ -24,7 +24,9 @@
 set -u
 cd "$(dirname "$0")/.."
 export BASE_EPOCH=${BASE_EPOCH:-22}
-FT_EPOCH=$((BASE_EPOCH + 6))
+export FT_EXTRA=${FT_EXTRA:-4}
+export K=25   # dispatch-stack length for fine-tune arms (see WER_SYNTH round-4 note)
+FT_EPOCH=$((BASE_EPOCH + FT_EXTRA))
 
 log() { echo "[post_base $(date +%H:%M:%S)] $*"; }
 
@@ -50,7 +52,7 @@ latest=$(ls exp/he/model_f100k 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail
 if [ -n "$latest" ] && [ "$latest" -lt "$BASE_EPOCH" ]; then
   log "train cut early: rebasing stages on epoch $latest (wanted $BASE_EPOCH)"
   export BASE_EPOCH=$latest
-  FT_EPOCH=$((BASE_EPOCH + 6))
+  FT_EPOCH=$((BASE_EPOCH + FT_EXTRA))
 fi
 
 data=data/synth_he
