@@ -312,7 +312,7 @@ class Config:
     # smoothed loss has not improved past monitor_plateau_frac of its
     # early value by monitor_min_step, or when teacher-forced att_peak
     # rises and then collapses without binding (the round-4 dead-basin
-    # signature).  monitor_abort exits with code 19 (DIVERGED — not
+    # signature).  monitor_abort exits with code 20 (DIVERGED — not
     # retryable, unlike stall 17 / transient 18) on first alarm.
     monitor_binding: bool = True
     monitor_min_step: int = 10000

@@ -18,7 +18,7 @@ att_peak transition scalar (benchmarks/WER_SYNTH.md "attention/decoder
 binding") into an automatic alarm.
 
 Rules (each fires at most once, WARNING by default; --monitor_abort
-exits with code 19 so supervisors can distinguish "diverged, do NOT
+exits with code 20 so supervisors can distinguish "diverged, do NOT
 retry the same seed" from transient platform failures (18) and stalls
 (17), tools/train_supervised.sh):
 
@@ -47,7 +47,7 @@ from typing import List, Optional
 # exit code for "training diverged; retrying the same configuration will
 # reproduce the failure" — deliberately distinct from the retryable
 # codes (17 stall, 18 transient platform) in utils/platform.py
-DIVERGED_EXIT_CODE = 19
+DIVERGED_EXIT_CODE = 20
 
 
 @dataclass
