@@ -75,11 +75,6 @@ stage base_attbeam_dev python3 decode.py $common $eval_common \
 stage base_jointbeam_dev python3 decode.py $common $eval_common \
   --save_dir $model --split dev --restore_epoch $BASE_EPOCH --beam_size 8 \
   --beam_logprob True --ctc_beam_weight 0.5 --stall_timeout_s 900
-stage base_greedy_test python3 test.py $common $eval_common \
-  --save_dir $model --split test --restore_epoch $BASE_EPOCH
-stage base_jointbeam_test python3 decode.py $common $eval_common \
-  --save_dir $model --split test --restore_epoch $BASE_EPOCH --beam_size 8 \
-  --beam_logprob True --ctc_beam_weight 0.5 --stall_timeout_s 900
 
 # 2. checkpoint averaging (ask #7)
 stage avg bash tools/flagship_round4.sh avg
@@ -89,6 +84,13 @@ stage avg_eval bash tools/flagship_round4.sh avg_eval
 # the host CPU and started hours before us; result.json appears with
 # the first epoch, so any completed state decodes
 stage lmsweep bash tools/flagship_round4.sh lmsweep
+
+# 3b. held-out-test anchors (after the dev story is complete)
+stage base_greedy_test python3 test.py $common $eval_common \
+  --save_dir $model --split test --restore_epoch $BASE_EPOCH
+stage base_jointbeam_test python3 decode.py $common $eval_common \
+  --save_dir $model --split test --restore_epoch $BASE_EPOCH --beam_size 8 \
+  --beam_logprob True --ctc_beam_weight 0.5 --stall_timeout_s 900
 
 # 4-5. rescue arms, highest-priority first (ask #1)
 stage rescue_aug bash tools/rescue_study.sh aug
