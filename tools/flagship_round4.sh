@@ -54,7 +54,7 @@ fi
 
 if run_stage avg; then
   echo "=== average e$((BASE_EPOCH - 8))..e$BASE_EPOCH -> model_f100k_avg ==="
-  python3 tools/average_checkpoints.py $common --save_dir $model \
+  JAX_PLATFORMS=cpu python3 tools/average_checkpoints.py $common --save_dir $model \
     --use_saved_config True \
     --avg_epochs $avg_epochs --avg_out ${model}_avg
   # the averaged dir is a fresh save_dir: give it the source's config
