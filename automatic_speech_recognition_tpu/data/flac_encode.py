@@ -198,6 +198,26 @@ def encode_flac(channels_pcm: List[np.ndarray], sample_rate: int = 16000,
             bw.write(bw_bs_extra, 16)
         bw.write(0, 8)   # crc8 (unchecked)
 
+        # Fast path for the corpus-writer configuration (mono, 16-bit,
+        # verbatim, independent): every field before the sample data is a
+        # whole number of bytes (32-bit fixed header + UTF-8 frame number
+        # + optional 16-bit blocksize + CRC-8 byte + 8-bit subframe
+        # header), so the samples can be emitted as one big-endian int16
+        # buffer instead of 2·size BitWriter calls.  Bit-identical to the
+        # generic path below (asserted by tests/test_flac.py).
+        if (nch == 1 and bps == 16 and subframe_kind == "verbatim"
+                and channel_mode == "independent" and not sub_kw):
+            bw.write(0, 1)   # subframe padding bit
+            bw.write(1, 6)   # verbatim
+            bw.write(0, 1)   # no wasted bits
+            assert bw.nbits == 0  # byte-aligned by construction
+            x = np.asarray(channels_pcm[0][start:start + size])
+            out += bw.getvalue()
+            out += x.astype(">i2").tobytes()
+            out += b"\x00\x00"  # crc16 (unchecked)
+            frame_idx += 1
+            continue
+
         chs = [np.asarray(c[start:start + size], np.int64)
                for c in channels_pcm]
         if channel_mode == "left_side":

@@ -276,14 +276,32 @@ def _formant_envelope(freqs: np.ndarray, F: np.ndarray, B: np.ndarray
 
 
 def _upsample(track: np.ndarray, n_samples: int) -> np.ndarray:
-    """Frame track (T,...) -> per-sample (n_samples,...), linear interp."""
+    """Frame track (T,...) -> per-sample (n_samples,...), linear interp.
+
+    The 2D path is a vectorized re-statement of per-column np.interp on
+    the uniform grid xp = arange(T)*HOP (same slope/offset arithmetic and
+    operation order, so it is bit-identical — asserted by
+    tests/test_synth_corpus.py); the per-column np.interp + np.stack it
+    replaces dominated corpus-synthesis time on 1-core hosts."""
     T = track.shape[0]
-    xp = np.arange(T) * HOP
     x = np.arange(n_samples)
     if track.ndim == 1:
-        return np.interp(x, xp, track)
-    return np.stack([np.interp(x, xp, track[:, j])
-                     for j in range(track.shape[1])], axis=1)
+        return np.interp(x, np.arange(T) * HOP, track)
+    track = track.astype(np.float64, copy=False)
+    if T == 1:
+        return np.broadcast_to(track, (n_samples,) + track.shape[1:]).copy()
+    # Frame-blocked: sample i*HOP+t of segment i is slope_i*t + lo_i with
+    # slope_i = (track[i+1]-track[i])/HOP — exactly np.interp's formula.
+    K = track.shape[1]
+    frac = np.arange(HOP, dtype=np.float64)[None, :, None]        # (1,HOP,1)
+    lo = track[:-1][:, None, :]                                   # (T-1,1,K)
+    slope = ((track[1:] - track[:-1]) / np.float64(HOP))[:, None, :]
+    body = (slope * frac + lo).reshape((T - 1) * HOP, K)
+    out = np.empty((n_samples, K))
+    m = min(n_samples, (T - 1) * HOP)
+    out[:m] = body[:m]
+    out[m:] = track[T - 1]                                        # np.interp tail clamp
+    return out
 
 
 def _colored_noise(n: int, center: float, halfwidth: float,
@@ -297,6 +315,87 @@ def _colored_noise(n: int, center: float, halfwidth: float,
     return shaped / (np.sqrt(np.mean(shaped ** 2)) + 1e-12)
 
 
+# --- optional device-accelerated voiced part -------------------------------
+# The harmonic stack (an (n_samples, K) sin matrix) is the synthesizer's
+# dominant cost and consumes NO rng draws, so it can be moved to a JAX
+# device without perturbing the host rng stream: a corpus generated with
+# accel on has bit-identical transcripts, speaker draws, durations, and
+# noise realizations to one generated without — only the voiced waveform
+# differs, at float32 rounding scale (tests/test_synth_corpus.py bounds
+# it).  Opt-in via enable_accel() because of that drift; on the 1-core
+# build hosts it is a ~4x end-to-end corpus-synthesis speedup.
+_accel_fn = None
+_ACCEL_KPAD = 128   # >= Kmax = floor(7600/60) harmonics, padded for lanes
+_ACCEL_TPAD = 128   # frame-count bucket -> one XLA compile per bucket
+
+
+def enable_accel(platform: Optional[str] = None) -> bool:
+    """Install the device voiced-part kernel.  Returns False (and leaves
+    the pure-NumPy path active) if JAX or a backend is unavailable."""
+    global _accel_fn
+    try:
+        import jax
+        import jax.numpy as jnp
+    except Exception:
+        return False
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    try:
+        jax.devices()
+    except Exception:
+        return False
+    # remote compiles are minutes under contention and there is one per
+    # T-bucket shape: reuse them across runs via the persistent XLA cache
+    from .platform import enable_compilation_cache
+    enable_compilation_cache()
+
+    @jax.jit
+    def voiced_fn(env, f0m, vg):
+        T, K = env.shape
+        frac = jnp.arange(HOP, dtype=jnp.float32)
+
+        def up1(tr):  # (T,) frame track -> (T*HOP,) per-sample, linear
+            slope = (tr[1:] - tr[:-1])[:, None] / np.float32(HOP)
+            body = (slope * frac[None, :] + tr[:-1, None]).reshape(-1)
+            return jnp.concatenate([body, jnp.full((HOP,), tr[-1], jnp.float32)])
+
+        f0_s = up1(f0m)
+        vg_s = up1(vg)
+        f0_safe = jnp.where(f0_s > 1.0, f0_s, 100.0)
+        phase = jnp.cumsum(f0_safe) * np.float32(2.0 * np.pi / FS)
+        # wrap before multiplying by the harmonic index: sin(k*(phase mod
+        # 2pi)) == sin(k*phase) for integer k, and it keeps the sin
+        # argument small enough for f32 (<= Kpad*2pi ~ 8e2)
+        pw = jnp.mod(phase, np.float32(2.0 * np.pi))
+        slope = (env[1:] - env[:-1])[:, None, :] / np.float32(HOP)
+        amps_body = (slope * frac[None, :, None] + env[:-1, None, :]
+                     ).reshape((T - 1) * HOP, K)
+        amps = jnp.concatenate([amps_body, jnp.broadcast_to(env[-1], (HOP, K))])
+        k = jnp.arange(1, K + 1, dtype=jnp.float32)
+        v = jnp.sum(amps * jnp.sin(pw[:, None] * k[None, :]), axis=1)
+        v = v * vg_s
+        m = vg_s > 0.05
+        cnt = jnp.sum(m)
+        rms = jnp.sqrt(jnp.sum(jnp.square(v) * m) / jnp.maximum(cnt, 1))
+        return v / jnp.where(cnt > 0, jnp.maximum(rms, 1e-9), 1.0)
+
+    _accel_fn = voiced_fn
+    return True
+
+
+def _voiced_accel(tracks: Dict, env: np.ndarray, n: int) -> np.ndarray:
+    """Pad frame tracks to the bucket shape, run the device kernel, slice."""
+    T = env.shape[0]
+    T_pad = -(-T // _ACCEL_TPAD) * _ACCEL_TPAD
+    env_p = np.zeros((T_pad, _ACCEL_KPAD), np.float32)
+    env_p[:T, :env.shape[1]] = env
+    f0m = np.zeros(T_pad, np.float32)
+    f0m[:T] = tracks["f0"] * tracks["voiced_mask"]
+    vg = np.zeros(T_pad, np.float32)   # zero-padded gate masks the pad tail
+    vg[:T] = tracks["voiced"]
+    return np.asarray(_accel_fn(env_p, f0m, vg))[:n].astype(np.float64)
+
+
 def synth_tracks(tracks: Dict, rng: np.random.Generator) -> np.ndarray:
     """Render parameter tracks to a 16 kHz float waveform in [-1, 1]."""
     T = tracks["F"].shape[0]
@@ -305,20 +404,23 @@ def synth_tracks(tracks: Dict, rng: np.random.Generator) -> np.ndarray:
     vg_s = _upsample(tracks["voiced"], n)
 
     # --- harmonic (voiced) part ---
-    f0_safe = np.where(f0_s > 1.0, f0_s, 100.0)
-    phase = 2.0 * np.pi * np.cumsum(f0_safe) / FS
     f0_frame = np.maximum(tracks["f0"], 60.0)
     Kmax = int(np.floor(7600.0 / float(f0_frame.min())))
     k = np.arange(1, Kmax + 1)
     harm_freqs = f0_frame[:, None] * k[None, :]             # (T, K)
     env = _formant_envelope(harm_freqs, tracks["F"], tracks["B"])
     env = np.where(harm_freqs < 7600.0, env, 0.0)
-    amps = _upsample(env, n)                                 # (n, K)
-    voiced = np.sum(amps * np.sin(phase[:, None] * k[None, :]), axis=1)
-    voiced *= vg_s
-    # normalize the harmonic stack so speakers with different K match
-    voiced /= max(np.sqrt(np.mean(voiced[vg_s > 0.05] ** 2)), 1e-9) \
-        if np.any(vg_s > 0.05) else 1.0
+    if _accel_fn is not None and Kmax <= _ACCEL_KPAD and T > 1:
+        voiced = _voiced_accel(tracks, env, n)
+    else:
+        f0_safe = np.where(f0_s > 1.0, f0_s, 100.0)
+        phase = 2.0 * np.pi * np.cumsum(f0_safe) / FS
+        amps = _upsample(env, n)                             # (n, K)
+        voiced = np.sum(amps * np.sin(phase[:, None] * k[None, :]), axis=1)
+        voiced *= vg_s
+        # normalize the harmonic stack so speakers w/ different K match
+        voiced /= max(np.sqrt(np.mean(voiced[vg_s > 0.05] ** 2)), 1e-9) \
+            if np.any(vg_s > 0.05) else 1.0
 
     # --- noise part (per color) + breathiness ---
     noise = np.zeros(n)

@@ -432,7 +432,17 @@ def main(argv=None):
     ap.add_argument("--reverb_p", type=float, default=0.0,
                     help="probability of random reverberation "
                          "(RT60 ~ U[0.15, 0.5] s) per utterance")
+    ap.add_argument("--accel", default="",
+                    help="compute the voiced harmonic stack on a JAX "
+                         "device ('tpu', 'cpu', or 'auto' = default "
+                         "platform).  Transcripts/speakers/noise stay "
+                         "bit-identical to the pure-NumPy path; the "
+                         "voiced waveform drifts at f32 rounding scale "
+                         "(see formant_synth.enable_accel)")
     args = ap.parse_args(argv)
+    if args.accel:
+        ok = fsyn.enable_accel(None if args.accel == "auto" else args.accel)
+        print(f"voiced-part accel: {'enabled' if ok else 'UNAVAILABLE, using NumPy'}")
     degrade = make_degrader(args.noise_snr, args.noise_kind, args.reverb_p)
 
     if args.pseudo_words:
