@@ -7,8 +7,14 @@
 # PID-exact by construction: walks /tmp/base_train.pid's process tree —
 # never pattern-matches command lines.
 set -u
-CUT_AT=${CUT_AT:-11:15}
-while [ "$(date +%H:%M)" \< "$CUT_AT" ]; do sleep 20; done
+# Two trigger modes: CUT_SLEEP_S (duration; robust across midnight) wins
+# over CUT_AT (HH:MM string compare — same-day only).
+if [ -n "${CUT_SLEEP_S:-}" ]; then
+  sleep "$CUT_SLEEP_S"
+else
+  CUT_AT=${CUT_AT:-11:15}
+  while [ "$(date +%H:%M)" \< "$CUT_AT" ]; do sleep 20; done
+fi
 wrapper=$(cat /tmp/base_train.pid 2>/dev/null) || exit 0
 kill -0 "$wrapper" 2>/dev/null || { echo "base train already done"; exit 0; }
 # wrapper(nohup bash he_flagship_100k.sh) -> train_supervised.sh -> train.py
