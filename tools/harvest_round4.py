@@ -1,0 +1,96 @@
+"""Harvest round-4 study-stage results from logs_r4/ into markdown.
+
+The chain (tools/round4_post_base.sh) writes one log per stage;
+logs_r4/ is gitignored, so the numbers must be copied into a committed
+artifact as they land.  This extracts each stage's final WER/CER lines
+plus run state and rewrites benchmarks/ROUND4_RESULTS.md — run it after
+any stage completes, commit the result.  No reference counterpart
+(study tooling).
+"""
+
+import glob
+import os
+import re
+import sys
+import time
+
+LOGS = "logs_r4"
+OUT = "benchmarks/ROUND4_RESULTS.md"
+
+# chain stage -> short description, in chain order
+STAGES = [
+    ("base_greedy_dev", "base: greedy (dev)"),
+    ("base_attbeam_dev", "base: ATT-ONLY beam-8 (dev) — published decode mode"),
+    ("base_jointbeam_dev", "base: joint-CTC beam-8 (dev)"),
+    ("avg", "checkpoint averaging (build)"),
+    ("avg_eval", "avg: greedy / att-beam / joint-beam (dev)"),
+    ("lmsweep", "LM fusion x joint-CTC beam-8, lambda sweep (dev)"),
+    ("base_greedy_test", "base: greedy (test)"),
+    ("base_jointbeam_test", "base: joint-CTC beam-8 (test)"),
+    ("rescue_aug", "rescue arm: online noise+speed fine-tune"),
+    ("rescue_aug_eval", "rescue aug: decodes"),
+    ("rescue_ss2", "rescue arm: gentle scheduled sampling"),
+    ("rescue_ss2_eval", "rescue ss2: decodes"),
+    ("pblstm_train", "pBLSTM arm: train"),
+    ("pblstm_eval", "pBLSTM arm: greedy trajectory (dev)"),
+    ("rescue_do", "rescue arm: decoder dropout"),
+    ("rescue_do_eval", "rescue do: decodes"),
+    ("lmtest", "LM fusion best-lambda (test)"),
+]
+
+WER_RE = re.compile(r"^(WER|CER): [0-9.]+", re.M)
+HDR_RE = re.compile(r"^=== .+ ===$", re.M)
+
+
+def stage_summary(path: str) -> str:
+    try:
+        text = open(path, errors="replace").read()
+    except OSError:
+        return "(no log)"
+    lines = []
+    for m in re.finditer(r"^(=== .+ ===|WER: .+|CER: .+|.*restore.*epoch.*)$",
+                         text, re.M):
+        s = m.group(0).strip()
+        if len(s) < 120 and ("===" in s or s[:4] in ("WER:", "CER:")):
+            lines.append(s)
+    if not lines:
+        tail = text.strip().splitlines()
+        return "(running / no WER yet) last: " + (tail[-1][:110] if tail else "")
+    return "; ".join(lines[-14:])
+
+
+def main():
+    rows = []
+    for name, desc in STAGES:
+        p = os.path.join(LOGS, f"{name}.log")
+        if not os.path.exists(p):
+            continue
+        rows.append((name, desc, stage_summary(p)))
+    extra = []
+    for p in ("base_train.log", "lm_train.log", "post_base.log"):
+        fp = os.path.join(LOGS, p)
+        if os.path.exists(fp):
+            tail = open(fp, errors="replace").read().strip().splitlines()
+            extra.append((p, tail[-1][:140] if tail else ""))
+
+    with open(OUT, "w") as f:
+        f.write("# Round-4 study results (auto-harvested)\n\n")
+        f.write(f"Harvested {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())} "
+                f"from `logs_r4/` by `tools/harvest_round4.py`.\n"
+                "Narrative interpretation lives in `benchmarks/WER_SYNTH.md`.\n\n")
+        if extra:
+            f.write("## Run state\n\n")
+            for name, tail in extra:
+                f.write(f"- `{name}`: {tail}\n")
+            f.write("\n")
+        if rows:
+            f.write("## Stage results\n\n")
+            for name, desc, summ in rows:
+                f.write(f"### {name} — {desc}\n\n{summ}\n\n")
+        else:
+            f.write("No chain stages have started yet.\n")
+    print(f"wrote {OUT} ({len(rows)} stages)")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
