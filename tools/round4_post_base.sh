@@ -93,7 +93,7 @@ stage base_jointbeam_test python3 decode.py $common $eval_common \
   --beam_logprob True --ctc_beam_weight 0.5 --stall_timeout_s 900
 
 # 4-5. rescue arms, highest-priority first (ask #1)
-stage rescue_aug bash tools/rescue_study.sh aug
+stage rescue_aug bash tools/rescue_study.sh aug_prep aug
 stage rescue_aug_eval env EVAL_EPOCH=$FT_EPOCH bash tools/rescue_study.sh eval_aug
 stage rescue_ss2 bash tools/rescue_study.sh ss2
 stage rescue_ss2_eval env EVAL_EPOCH=$FT_EPOCH bash tools/rescue_study.sh eval_ss2
