@@ -38,20 +38,17 @@ STAGES = [
     ("lmtest", "LM fusion best-lambda (test)"),
 ]
 
-WER_RE = re.compile(r"^(WER|CER): [0-9.]+", re.M)
-HDR_RE = re.compile(r"^=== .+ ===$", re.M)
-
-
 def stage_summary(path: str) -> str:
     try:
         text = open(path, errors="replace").read()
     except OSError:
         return "(no log)"
     lines = []
-    for m in re.finditer(r"^(=== .+ ===|WER: .+|CER: .+|.*restore.*epoch.*)$",
-                         text, re.M):
+    for m in re.finditer(r"^(=== .+ ===|WER: .+|CER: .+|.*restor\w+ .*epoch.*)$",
+                         text, re.M, ):
         s = m.group(0).strip()
-        if len(s) < 120 and ("===" in s or s[:4] in ("WER:", "CER:")):
+        if len(s) < 120 and ("===" in s or s[:4] in ("WER:", "CER:")
+                             or "restor" in s):
             lines.append(s)
     if not lines:
         tail = text.strip().splitlines()
