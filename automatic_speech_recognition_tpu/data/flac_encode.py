@@ -204,7 +204,7 @@ def encode_flac(channels_pcm: List[np.ndarray], sample_rate: int = 16000,
         # + optional 16-bit blocksize + CRC-8 byte + 8-bit subframe
         # header), so the samples can be emitted as one big-endian int16
         # buffer instead of 2·size BitWriter calls.  Bit-identical to the
-        # generic path below (asserted by tests/test_flac.py).
+        # generic path below (asserted by tests/test_synth_accel.py).
         if (nch == 1 and bps == 16 and subframe_kind == "verbatim"
                 and channel_mode == "independent" and not sub_kw):
             bw.write(0, 1)   # subframe padding bit

@@ -281,7 +281,7 @@ def _upsample(track: np.ndarray, n_samples: int) -> np.ndarray:
     The 2D path is a vectorized re-statement of per-column np.interp on
     the uniform grid xp = arange(T)*HOP (same slope/offset arithmetic and
     operation order, so it is bit-identical — asserted by
-    tests/test_synth_corpus.py); the per-column np.interp + np.stack it
+    tests/test_synth_accel.py); the per-column np.interp + np.stack it
     replaces dominated corpus-synthesis time on 1-core hosts."""
     T = track.shape[0]
     x = np.arange(n_samples)
@@ -321,8 +321,8 @@ def _colored_noise(n: int, center: float, halfwidth: float,
 # device without perturbing the host rng stream: a corpus generated with
 # accel on has bit-identical transcripts, speaker draws, durations, and
 # noise realizations to one generated without — only the voiced waveform
-# differs, at float32 rounding scale (tests/test_synth_corpus.py bounds
-# it).  Opt-in via enable_accel() because of that drift; on the 1-core
+# differs, at float32 rounding scale (tests/test_synth_accel.py bounds
+# it, including length-independence).  Opt-in because of that drift; on the 1-core
 # build hosts it is a ~4x end-to-end corpus-synthesis speedup.
 _accel_fn = None
 _ACCEL_KPAD = 128   # >= Kmax = floor(7600/60) harmonics, padded for lanes
@@ -350,23 +350,25 @@ def enable_accel(platform: Optional[str] = None) -> bool:
     enable_compilation_cache()
 
     @jax.jit
-    def voiced_fn(env, f0m, vg):
+    def voiced_fn(env, pw, vg_s):
+        # env: (T_pad, K) frame envelope, edge-padded past the real T so
+        #   the last real segment HOLDS (np.interp tail-clamp semantics)
+        #   instead of ramping toward a zero pad frame.
+        # pw: (T_pad*HOP,) per-sample phase, computed HOST-SIDE in
+        #   float64 and wrapped mod 2pi before the f32 cast — a device
+        #   f32 cumsum accumulates absolute rounding error with the
+        #   running sum, so voiced drift would grow with utterance
+        #   length (measured 1.9% relative at 15.6 s).  Wrapping first
+        #   is exact: sin(k*(phase mod 2pi)) == sin(k*phase) for
+        #   integer k, and it keeps the sin argument small for f32.
+        # vg_s: (T_pad*HOP,) per-sample voiced gate, upsampled host-side
+        #   with the same np.interp semantics as the pure-NumPy path and
+        #   zero-padded past the real n, masking the pad region from
+        #   both the waveform and the RMS normalization.
+        # Length-independence of the drift is asserted by
+        # tests/test_synth_accel.py.
         T, K = env.shape
         frac = jnp.arange(HOP, dtype=jnp.float32)
-
-        def up1(tr):  # (T,) frame track -> (T*HOP,) per-sample, linear
-            slope = (tr[1:] - tr[:-1])[:, None] / np.float32(HOP)
-            body = (slope * frac[None, :] + tr[:-1, None]).reshape(-1)
-            return jnp.concatenate([body, jnp.full((HOP,), tr[-1], jnp.float32)])
-
-        f0_s = up1(f0m)
-        vg_s = up1(vg)
-        f0_safe = jnp.where(f0_s > 1.0, f0_s, 100.0)
-        phase = jnp.cumsum(f0_safe) * np.float32(2.0 * np.pi / FS)
-        # wrap before multiplying by the harmonic index: sin(k*(phase mod
-        # 2pi)) == sin(k*phase) for integer k, and it keeps the sin
-        # argument small enough for f32 (<= Kpad*2pi ~ 8e2)
-        pw = jnp.mod(phase, np.float32(2.0 * np.pi))
         slope = (env[1:] - env[:-1])[:, None, :] / np.float32(HOP)
         amps_body = (slope * frac[None, :, None] + env[:-1, None, :]
                      ).reshape((T - 1) * HOP, K)
@@ -383,17 +385,28 @@ def enable_accel(platform: Optional[str] = None) -> bool:
     return True
 
 
-def _voiced_accel(tracks: Dict, env: np.ndarray, n: int) -> np.ndarray:
-    """Pad frame tracks to the bucket shape, run the device kernel, slice."""
+def _voiced_accel(env: np.ndarray, f0_s: np.ndarray, vg_s: np.ndarray,
+                  n: int) -> np.ndarray:
+    """Pad to the bucket shape, run the device kernel, slice.
+
+    Phase is computed here in float64 (identical arithmetic to the
+    pure-NumPy path in synth_tracks) and only the WRAPPED phase is cast
+    to f32, so accel drift does not grow with utterance length; env is
+    edge-padded so the final real segment holds rather than ramping to
+    zero (tests/test_synth_accel.py asserts both)."""
     T = env.shape[0]
     T_pad = -(-T // _ACCEL_TPAD) * _ACCEL_TPAD
+    n_pad = T_pad * HOP
     env_p = np.zeros((T_pad, _ACCEL_KPAD), np.float32)
     env_p[:T, :env.shape[1]] = env
-    f0m = np.zeros(T_pad, np.float32)
-    f0m[:T] = tracks["f0"] * tracks["voiced_mask"]
-    vg = np.zeros(T_pad, np.float32)   # zero-padded gate masks the pad tail
-    vg[:T] = tracks["voiced"]
-    return np.asarray(_accel_fn(env_p, f0m, vg))[:n].astype(np.float64)
+    env_p[T:, :env.shape[1]] = env[-1]          # edge-pad: hold, not ramp
+    f0_safe = np.where(f0_s > 1.0, f0_s, 100.0)
+    phase = 2.0 * np.pi * np.cumsum(f0_safe) / FS        # float64, exact
+    pw = np.zeros(n_pad, np.float32)
+    pw[:n] = np.mod(phase, 2.0 * np.pi)
+    vg_p = np.zeros(n_pad, np.float32)   # zero-padded gate masks pad tail
+    vg_p[:n] = vg_s
+    return np.asarray(_accel_fn(env_p, pw, vg_p))[:n].astype(np.float64)
 
 
 def synth_tracks(tracks: Dict, rng: np.random.Generator) -> np.ndarray:
@@ -411,7 +424,7 @@ def synth_tracks(tracks: Dict, rng: np.random.Generator) -> np.ndarray:
     env = _formant_envelope(harm_freqs, tracks["F"], tracks["B"])
     env = np.where(harm_freqs < 7600.0, env, 0.0)
     if _accel_fn is not None and Kmax <= _ACCEL_KPAD and T > 1:
-        voiced = _voiced_accel(tracks, env, n)
+        voiced = _voiced_accel(env, f0_s, vg_s, n)
     else:
         f0_safe = np.where(f0_s > 1.0, f0_s, 100.0)
         phase = 2.0 * np.pi * np.cumsum(f0_safe) / FS

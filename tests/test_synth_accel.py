@@ -74,3 +74,49 @@ def test_accel_voiced_drift_bounded_and_rng_preserved():
         assert r1.integers(1 << 30) == r2.integers(1 << 30)
     finally:
         fs._accel_fn = saved
+
+
+def test_accel_drift_length_independent():
+    """Phase is computed host-side in float64 (advisor r4, medium): a
+    device f32 cumsum accumulated error with the running sum, so drift
+    grew with utterance length (1.9% relative at 15.6 s, thirds
+    0.36%→1.05%→1.93%).  Now the final third of a long utterance must
+    drift no more than f32 rounding scale, same as the first."""
+    spk = fs.Speaker()
+    long_phones = PHONES * 10   # ~13 s
+    saved = fs._accel_fn
+    try:
+        fs._accel_fn = None
+        host = fs.synth_phones(long_phones, spk, np.random.default_rng(7))
+        assert fs.enable_accel("cpu")
+        dev = fs.synth_phones(long_phones, spk, np.random.default_rng(7))
+        n = host.shape[0]
+        peak = np.abs(host).max()
+        thirds = [np.abs(host[i * n // 3:(i + 1) * n // 3]
+                         - dev[i * n // 3:(i + 1) * n // 3]).max() / peak
+                  for i in range(3)]
+        # every third within f32 rounding scale; no growth trend
+        assert max(thirds) < 5e-3, thirds
+        assert thirds[2] < 4.0 * max(thirds[0], 1e-5), thirds
+    finally:
+        fs._accel_fn = saved
+
+
+def test_accel_last_segment_holds_not_ramps():
+    """Edge-padded env (advisor r4, low): with zero padding the kernel's
+    last real segment interpolated toward the pad frame, so the final
+    HOP samples ramped instead of holding np.interp's tail clamp.  A
+    non-silent-final phone sequence must still match the host tail."""
+    spk = fs.Speaker()
+    phones = ["HH", "AH", "L", "OW"]   # ends voiced, no trailing SIL
+    saved = fs._accel_fn
+    try:
+        fs._accel_fn = None
+        host = fs.synth_phones(phones, spk, np.random.default_rng(3))
+        assert fs.enable_accel("cpu")
+        dev = fs.synth_phones(phones, spk, np.random.default_rng(3))
+        tail = slice(-2 * fs.HOP, None)
+        peak = np.abs(host).max()
+        assert np.abs(host[tail] - dev[tail]).max() < 5e-3 * peak
+    finally:
+        fs._accel_fn = saved

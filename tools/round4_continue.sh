@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 mkdir -p logs_r4
 log() { echo "[continue $(date +%H:%M:%S)] $*"; }
 
-while kill -0 "$(cat /tmp/data_regen.pid 2>/dev/null || echo 0)" 2>/dev/null; do
+while p=$(cat /tmp/data_regen.pid 2>/dev/null) && [ -n "$p" ] && kill -0 "$p" 2>/dev/null; do
   sleep 30
 done
 log "corpus+features+shards job done"

@@ -19,7 +19,7 @@ mkdir -p logs_r4
 log() { echo "[relaunch $(date +%H:%M:%S)] $*"; }
 
 # 1. wait out corpus synthesis
-while kill -0 "$(cat /tmp/data_regen.pid 2>/dev/null || echo 0)" 2>/dev/null; do
+while p=$(cat /tmp/data_regen.pid 2>/dev/null) && [ -n "$p" ] && kill -0 "$p" 2>/dev/null; do
   sleep 60
 done
 log "corpus synthesis done"
