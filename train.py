@@ -37,6 +37,7 @@ from automatic_speech_recognition_tpu.parallel.distributed import (
 from automatic_speech_recognition_tpu.training import monitor as monitor_lib
 from automatic_speech_recognition_tpu.training import trainer
 from automatic_speech_recognition_tpu.training.checkpoint import CheckpointManager
+from automatic_speech_recognition_tpu.utils import memlog
 from automatic_speech_recognition_tpu.utils import summary as summary_lib
 from automatic_speech_recognition_tpu.utils.text import convert_idx_to_string
 from automatic_speech_recognition_tpu.utils.watchdog import StallWatchdog
@@ -178,6 +179,7 @@ def main(argv=None):
     total_steps = cfg.epoch * steps_per_epoch
     global_step = int(jax.device_get(ts.step))
     t_last, s_last = time.perf_counter(), global_step
+    mem_last_step = -(10 ** 9)  # first log line carries a hostmem snapshot
 
     # graceful preemption: SIGTERM/SIGINT save a checkpoint before exit
     # (failure-recovery subsystem the reference lacks; SURVEY.md §5).
@@ -302,6 +304,11 @@ def main(argv=None):
                          "att %.2f (%.2f steps/s)", global_step, total_steps,
                          m["loss"], m["lr"], m["tf_rate"], m["grad_norm"],
                          m["att_peak"], sps)
+                # host-memory growth curve (VERDICT r4 weak #5: 96 GB RSS
+                # observed, unattributed) — coarse cadence, ~free
+                if global_step - mem_last_step >= 500:
+                    mem_last_step = global_step
+                    log.info("hostmem: %s", memlog.breakdown())
             writer.scalar("train/loss", m["loss"], global_step)
             writer.scalar("train/att_peak", m["att_peak"], global_step)
             writer.scalar("train/steps_per_sec", sps, global_step)
