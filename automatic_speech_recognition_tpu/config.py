@@ -318,6 +318,14 @@ class Config:
     monitor_min_step: int = 10000
     monitor_plateau_frac: float = 0.7
     monitor_abort: bool = False
+    # > 0: checkpoint and exit with code 21 (PLANNED RECYCLE, retryable
+    # without backoff in tools/train_supervised.sh) after this many
+    # steps in one process.  Bounds the tunnel-client host-memory leak
+    # (docs/OPERATIONS.md "Host memory on tunneled platforms": RSS grows
+    # by ~the bytes fed per transfer, client-internal) to
+    # bytes_per_dispatch x recycle_after_steps / steps_per_dispatch
+    # instead of the whole run.  0 = off (co-located hosts don't leak).
+    recycle_after_steps: int = 0
     seed: int = 0
     vocab_size: int = 0                   # filled from tokenizer at runtime
     steps_per_epoch: int = 0              # 0 = derive from dataset size

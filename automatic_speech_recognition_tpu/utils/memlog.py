@@ -17,6 +17,13 @@ tf.data streams, train.py:114-126 prints loss only).
 
 from __future__ import annotations
 
+# Planned process recycle (--recycle_after_steps): train.py checkpoints
+# and exits with this code; tools/train_supervised.sh relaunches without
+# backoff and the fresh process resumes from the checkpoint, releasing
+# every client-held transfer buffer.  Distinct from stall 17 / transient
+# 18 / exhausted 19 / diverged 20.
+RECYCLE_EXIT_CODE = 21
+
 
 def rss_gb() -> float:
     """Resident set size of this process in GiB (Linux /proc)."""

@@ -121,7 +121,13 @@ def _save_cache(result: dict) -> None:
 def _emit_partial_and_exit(reason: str) -> None:
     """Best-available result on stall: live-partial beats cache beats
     nothing.  Runs on the watchdog thread while the main thread may be
-    wedged inside a C++ dispatch, hence os._exit."""
+    wedged inside a C++ dispatch, hence os._exit — which skips atexit,
+    so the chain-idle lockfile must be removed here explicitly."""
+    try:
+        if os.path.exists(LOCKFILE):
+            os.remove(LOCKFILE)
+    except OSError:
+        pass
     if _partial.get("device_ms_per_batch") is not None:
         out = dict(_partial)
         out.setdefault("cpu_utts_per_sec_live", None)

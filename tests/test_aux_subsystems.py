@@ -534,6 +534,85 @@ def test_train_supervised_retry_codes(tmp_path):
     assert "non-retryable" in r.stderr
 
 
+def test_train_supervised_planned_recycle(tmp_path):
+    """Exit 21 (--recycle_after_steps, utils/memlog.RECYCLE_EXIT_CODE) is
+    relaunched without consuming attempts or backoff: a worker that
+    recycles 4 times under max_attempts=2 must still reach success."""
+    import subprocess
+    script = "/root/repo/tools/train_supervised.sh"
+    cnt = tmp_path / "count"
+    worker = tmp_path / "worker.sh"
+    worker.write_text(
+        "#!/bin/bash\n"
+        f"n=$(cat {cnt} 2>/dev/null || echo 0); n=$((n+1)); echo $n > {cnt}\n"
+        "[ $n -ge 5 ] && exit 0\nexit 21\n")
+    worker.chmod(0o755)
+    r = subprocess.run(
+        ["bash", "-c",
+         f"sed -e 's/sleep \"$backoff\"/:/' -e 's/sleep 2$/:/' {script} > "
+         f"{tmp_path}/fast.sh && bash {tmp_path}/fast.sh 2 -- {worker}"],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    assert cnt.read_text().strip() == "5"
+    assert r.stderr.count("planned recycle") == 4
+
+
+def test_train_cli_recycle_after_steps(tmp_path, rng):
+    """train.py --recycle_after_steps: checkpoints and exits 21 mid-run
+    (utils/memlog.RECYCLE_EXIT_CODE, bounding the tunnel-client RSS
+    leak documented in docs/OPERATIONS.md); a relaunch resumes from the
+    recycle checkpoint to completion."""
+    import subprocess
+    import sys
+    from automatic_speech_recognition_tpu.data.audio_io import write_wav
+    root = str(tmp_path)
+    dd = f"{root}/corpus/train/1/10"
+    os.makedirs(dd)
+    words = ["GO", "STOP", "LEFT", "RIGHT"]
+    lines = []
+    for u in range(6):
+        uid = f"1-10-{u:04d}"
+        lines.append(f"{uid} {' '.join(rng.choice(words, 2))}")
+        write_wav(f"{dd}/{uid}.wav",
+                  rng.standard_normal(int(16000 * 0.5)) * 0.1, 16000)
+    with open(f"{dd}/1-10.trans.txt", "w") as f:
+        f.write("\n".join(lines))
+    flags = ["--unit", "char", "--feat_dim", "13",
+             "--train_100hr_corpus_dir", f"{root}/corpus/train",
+             "--train_360hr_corpus_dir", f"{root}/no360",
+             "--train_500hr_corpus_dir", f"{root}/no500",
+             "--dev_data_dir", f"{root}/nodev",
+             "--test_data_dir", f"{root}/notest",
+             "--feat_dir", f"{root}/feats", "--shard_dir", f"{root}/shards",
+             "--save_dir", f"{root}/model", "--log_dir", f"{root}/log",
+             "--summary_dir", f"{root}/sum",
+             "--enc_units", "8", "--num_enc_channels", "4",
+             "--num_enc_layers", "1", "--dec_units", "8",
+             "--num_dec_layers", "1", "--embedding_size", "8",
+             "--attention_size", "8", "--mode", "add",
+             "--dropout_rate", "0.0", "--scheduled_sampling", "False",
+             "--bucket_boundaries_train", "128",
+             "--bucket_batch_sizes", "8",
+             "--max_tokenlen_train", "16", "--maxlen", "128",
+             "--epoch", "2", "--steps_per_epoch", "4"]
+    import preprocess, create_shards
+    preprocess.main(flags)
+    create_shards.main(flags)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [sys.executable, "/root/repo/train.py"] + flags
+    r = subprocess.run(cmd + ["--recycle_after_steps", "3"],
+                       capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 21, (r.returncode, r.stderr[-2000:])
+    assert "recycle checkpoint saved" in r.stdout + r.stderr
+    # relaunch without the flag finishes the remaining steps from the
+    # recycle checkpoint (restore-or-init), exit 0
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r2.returncode == 0, (r2.returncode, r2.stderr[-2000:])
+    assert "restored epoch" in r2.stdout + r2.stderr
+
+
 def test_error_analysis_alignment_and_counts(tmp_path):
     """tools/error_analysis.py: alignment op counts reproduce
     edit_distance, and the confusion tables count the right events."""

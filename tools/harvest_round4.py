@@ -36,6 +36,9 @@ STAGES = [
     ("rescue_do", "rescue arm: decoder dropout"),
     ("rescue_do_eval", "rescue do: decodes"),
     ("lmtest", "LM fusion best-lambda (test)"),
+    # round-5 chain (tools/round5_chain.sh)
+    ("basin_k50", "dead-basin replication: K=50 flagship, monitor armed"),
+    ("bench_recapture", "fresh bench capture on quiet chip"),
 ]
 
 def stage_summary(path: str) -> str:
@@ -44,11 +47,14 @@ def stage_summary(path: str) -> str:
     except OSError:
         return "(no log)"
     lines = []
-    for m in re.finditer(r"^(=== .+ ===|WER: .+|CER: .+|.*restor\w+ .*epoch.*)$",
-                         text, re.M, ):
+    for m in re.finditer(
+            r"^(=== .+ ===|WER: .+|CER: .+|\{\"metric\".*"
+            r"|.*training-health monitor.*|.*restor\w+ .*epoch.*)$",
+            text, re.M):
         s = m.group(0).strip()
-        if len(s) < 120 and ("===" in s or s[:4] in ("WER:", "CER:")
-                             or "restor" in s):
+        if len(s) < 200 and ("===" in s or s[:4] in ("WER:", "CER:")
+                             or "restor" in s or "monitor" in s
+                             or s.startswith('{"metric"')):
             lines.append(s)
     if not lines:
         tail = text.strip().splitlines()

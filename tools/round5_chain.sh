@@ -1,0 +1,84 @@
+#!/bin/bash
+# Round-5 TPU chain: runs after the round-4 post-base study chain
+# (tools/round4_post_base.sh, pid /tmp/post_base.pid) releases the chip.
+#
+#   1. basin_k50   — dead-basin replication (VERDICT r4 ask #4): the
+#                    published-size flagship recipe with K=50
+#                    steps_per_dispatch — the configuration that hit the
+#                    round-4 dead optimization basin (CTC flat,
+#                    attention collapsed, 41k steps) — re-run for 15k
+#                    steps with training/monitor.py armed WARN-ONLY.
+#                    Outcome either replicates the basin (and validates
+#                    that loss_plateau/att_collapse fire by ~10k) or
+#                    documents a non-replication; both upgrade
+#                    WER_SYNTH.md's n=1 correlation.
+#   2. bench_recap — fresh driver-bench capture on the now-quiet chip,
+#                    seeding benchmarks/bench_cache.json for the
+#                    round-end driver run (VERDICT r4 ask #2).
+#
+# Each stage idles while /tmp/asr_bench_running.lock exists so a bench
+# capture window is never contended by this chain (the reciprocal of
+# bench.py holding the lock).
+set -u
+cd "$(dirname "$0")/.."
+
+log() { echo "[r5chain $(date +%H:%M:%S)] $*"; }
+
+wait_bench_lock() {
+  local waited=0
+  while [ -e /tmp/asr_bench_running.lock ] && [ "$waited" -lt 3600 ]; do
+    sleep 20; waited=$((waited + 20))
+  done
+}
+
+stage() {
+  local name=$1; shift
+  wait_bench_lock
+  log "=== stage $name start ==="
+  if "$@" > "logs_r4/$name.log" 2>&1; then
+    log "=== stage $name OK ==="
+  else
+    log "=== stage $name FAILED (exit $?) — continuing ==="
+  fi
+  tail -4 "logs_r4/$name.log"
+}
+
+# 0. wait for the round-4 post-base chain to release the chip
+while p=$(cat /tmp/post_base.pid 2>/dev/null) && [ -n "$p" ] \
+      && kill -0 "$p" 2>/dev/null; do sleep 60; done
+log "round-4 chain done"
+tail -2 logs_r4/post_base.log
+
+data=data/synth_he
+work=exp/he
+common="--unit char --feat_type mfcc --feat_dim 13 --cmvn True
+  --train_100hr_corpus_dir $data/train
+  --dev_data_dir $data/dev --test_data_dir $data/test
+  --feat_dir $work/features --shard_dir $work/shards
+  --log_dir $work/log_basin --summary_dir $work/summary_basin"
+flagship="--enc_type cnn --enc_units 512 --num_enc_layers 4
+  --num_enc_channels 32 --dec_units 1024 --num_dec_layers 2
+  --embedding_size 256 --attention_size 128 --mode loc
+  --dropout_rate 0.0 --scheduled_sampling False --scan_unroll 4"
+
+# 1. basin replication: identical recipe/schedule/seed to the round-4
+# incident run (tools/he_flagship_100k.sh with K=50), 15k-step budget —
+# the incident's signature was visible well before 15k and the monitor
+# is designed to fire by ~10k.  Warn-only (monitor_abort False) so the
+# full trajectory is recorded either way.
+stage basin_k50 timeout 7200 python3 train.py $common $flagship \
+  --save_dir $work/model_basin_k50 \
+  --ctc True --ctc_weight 0.2 \
+  --epoch 6 --steps_per_epoch 2500 \
+  --lr 1e-3 --lr_decay_start 16000 --lr_decay_step 16000 \
+  --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 50 \
+  --stall_timeout_s 900 \
+  --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 8
+
+grep -E "training-health monitor|hostmem" logs_r4/basin_k50.log | tail -20
+
+# 2. fresh bench capture on the quiet chip (also refreshes the
+# stale-fallback cache the driver-run bench can serve under contention)
+stage bench_recapture env ASR_BENCH_TIMEOUT=2700 python3 bench.py
+
+log "chain complete"

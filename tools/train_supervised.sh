@@ -5,14 +5,19 @@
 #   tools/train_supervised.sh [max_attempts] -- python3 train.py ... \
 #       --stall_timeout_s 900
 #
-# Reruns the command while it exits with one of the two RETRYABLE codes:
+# Reruns the command while it exits with one of the RETRYABLE codes:
 #   17  stall watchdog abort (utils/watchdog.py: dead tunnel mid-dispatch)
 #   18  transient platform failure (utils/platform.py: backend
 #       UNAVAILABLE / DEADLINE_EXCEEDED / init failure)
-# Any other nonzero exit (a real error: bad flags, missing shards, OOM)
-# stops immediately — retrying a bug loops forever and buries the trace.
-# Training resumes from the last epoch checkpoint automatically
-# (train.py restore-or-init), so each retry continues, not restarts.
+#  137  SIGKILL, in practice the kernel OOM killer
+#   21  PLANNED recycle (--recycle_after_steps, utils/memlog.py):
+#       relaunched immediately, no backoff, and NOT counted against
+#       max_attempts — it is healthy behavior, not a failure
+# Any other nonzero exit (a real error: bad flags, missing shards,
+# diverged 20) stops immediately — retrying a bug loops forever and
+# buries the trace.  Training resumes from the last epoch checkpoint
+# automatically (train.py restore-or-init), so each retry continues,
+# not restarts.
 set -u
 
 max_attempts=24
@@ -24,12 +29,16 @@ if [ $# -eq 0 ]; then
 fi
 
 backoff=60
-for attempt in $(seq 1 "$max_attempts"); do
+attempt=1
+while :; do
   echo "[train_supervised] attempt $attempt/$max_attempts: $*" >&2
   "$@"
   rc=$?
   case $rc in
     0)  echo "[train_supervised] done" >&2; exit 0 ;;
+    21) echo "[train_supervised] planned recycle (rc 21); relaunching" >&2
+        sleep 2
+        continue ;;   # no attempt consumed, no backoff
     17) echo "[train_supervised] stall watchdog abort (rc 17)" >&2 ;;
     18) echo "[train_supervised] transient platform failure (rc 18)" >&2 ;;
     # 137 = SIGKILL, in practice the kernel OOM killer (observed live: a
@@ -40,11 +49,11 @@ for attempt in $(seq 1 "$max_attempts"); do
     *)  echo "[train_supervised] non-retryable exit $rc; stopping" >&2
         exit "$rc" ;;
   esac
-  if [ "$attempt" -lt "$max_attempts" ]; then
-    echo "[train_supervised] sleeping ${backoff}s before retry" >&2
-    sleep "$backoff"
-    backoff=$((backoff * 2)); [ "$backoff" -gt 600 ] && backoff=600
-  fi
+  if [ "$attempt" -ge "$max_attempts" ]; then break; fi
+  attempt=$((attempt + 1))
+  echo "[train_supervised] sleeping ${backoff}s before retry" >&2
+  sleep "$backoff"
+  backoff=$((backoff * 2)); [ "$backoff" -gt 600 ] && backoff=600
 done
 # NOT 17/18: an outer supervisor using the same contract must not see
 # exhaustion as "retry me" and relaunch a hopeless run forever

@@ -180,6 +180,7 @@ def main(argv=None):
     global_step = int(jax.device_get(ts.step))
     t_last, s_last = time.perf_counter(), global_step
     mem_last_step = -(10 ** 9)  # first log line carries a hostmem snapshot
+    proc_start_step, recycle_armed = global_step, False
 
     # graceful preemption: SIGTERM/SIGINT save a checkpoint before exit
     # (failure-recovery subsystem the reference lacks; SURVEY.md §5).
@@ -267,14 +268,31 @@ def main(argv=None):
     if watchdog is not None:
         watchdog.extend(cfg.stall_timeout_s, what="training dispatch")
     for batch in batches:
+        # planned recycle: global_step is identical on every process, so
+        # this decision is deterministic across hosts (no collective
+        # needed, unlike the signal path) — all processes checkpoint and
+        # exit 21 in the same iteration, the supervisor relaunches, and
+        # the fresh client starts with zero retained transfer buffers.
+        if (cfg.recycle_after_steps > 0 and not recycle_armed
+                and global_step - proc_start_step >= cfg.recycle_after_steps):
+            recycle_armed = True
+            stop_requested.append(signal.SIGTERM)
+            if primary:
+                log.info("recycle_after_steps=%d reached (%d steps this "
+                         "process, %s); checkpointing and exiting %d for "
+                         "the supervisor to relaunch",
+                         cfg.recycle_after_steps,
+                         global_step - proc_start_step,
+                         memlog.breakdown(), memlog.RECYCLE_EXIT_CODE)
         if nproc == 1:
             sync_stop_flag()  # immediate single-host signal response
         if stop_requested:
             epoch = max(1, global_step // steps_per_epoch + 1)
             ckpt.save(epoch, jax.device_get(ts))  # all processes (orbax
             if primary:                           # coordinates the write)
-                log.info("preemption checkpoint saved at step %d "
-                         "(epoch slot %d)", global_step, epoch)
+                log.info("%s checkpoint saved at step %d (epoch slot %d)",
+                         "recycle" if recycle_armed else "preemption",
+                         global_step, epoch)
             break
         if global_step >= total_steps:
             break
@@ -371,6 +389,8 @@ def main(argv=None):
         watchdog.stop()
     log.info("done at step %d; timers: %s", global_step, timers.report())
     writer.close()
+    if recycle_armed and global_step < total_steps:
+        sys.exit(memlog.RECYCLE_EXIT_CODE)
 
 
 if __name__ == "__main__":
