@@ -122,6 +122,15 @@ for arm in ctl ss ss2 do ssdo aug; do
     dir=$work/model_ft_$arm
     echo "=== rescue arm $arm: fine-tune 100k -> 115k ==="
     seed_arm "$dir"
+    if [ "$arm" = aug ]; then
+      # the seeded snapshot is the FEATURE-trained base's; the aug arm
+      # legitimately flips the input representation without touching any
+      # parameter shape (audio_shards is a MODEL_FIELD only to protect
+      # --use_saved_config evals), so patch the seed before train.py's
+      # resume guard compares it against the command line
+      python3 -c "import json,sys; p=sys.argv[1]; c=json.load(open(p)); \
+c['audio_shards']=True; json.dump(c, open(p,'w'))" "$dir/config.json"
+    fi
     tools/train_supervised.sh 24 -- \
       python3 train.py $common $flagship $ft_sched $(arm_flags $arm) \
         --save_dir "$dir" \
@@ -136,12 +145,16 @@ for arm in ctl ss ss2 do ssdo aug; do
   if run_stage eval_$arm; then
     dir=$work/model_ft_$arm
     e=${EVAL_EPOCH:-$ft_epochs}
+    # the aug arm's snapshot says audio_shards=True, so its evals must
+    # read the waveform shard series (last --shard_dir wins in argparse)
+    extra=""
+    [ "$arm" = aug ] && extra="--shard_dir $work/shards_audio"
     echo "=== arm $arm epoch $e: greedy (dev) ==="
-    python3 test.py $common $eval_common --save_dir "$dir" \
+    python3 test.py $common $eval_common $extra --save_dir "$dir" \
       --split dev --restore_epoch $e | tail -2
     echo "=== arm $arm epoch $e: ATTENTION-ONLY beam-8 (dev) — the"
     echo "=== reference's published decode mode (run.sh:79-93) ==="
-    python3 decode.py $common $eval_common --save_dir "$dir" \
+    python3 decode.py $common $eval_common $extra --save_dir "$dir" \
       --split dev --restore_epoch $e --beam_size 8 --beam_logprob True \
       --stall_timeout_s 900 | tail -3
   fi

@@ -61,6 +61,15 @@ flagship="--enc_type cnn --enc_units 512 --num_enc_layers 4
   --embedding_size 256 --attention_size 128 --mode loc
   --dropout_rate 0.0 --scheduled_sampling False --scan_unroll 4"
 
+# 0b. retry the aug rescue arm: the chain's first attempt died on the
+# resume guard (seeded config said audio_shards=False; fixed in
+# tools/rescue_study.sh by patching the seed), so the online-
+# augmentation arm — the highest-priority rescue remedy — never ran.
+stage rescue_aug env BASE_EPOCH=25 FT_EXTRA=4 K=25 \
+  bash tools/rescue_study.sh aug
+stage rescue_aug_eval env BASE_EPOCH=25 FT_EXTRA=4 EVAL_EPOCH=29 \
+  bash tools/rescue_study.sh eval_aug
+
 # 1. basin replication: identical recipe/schedule/seed to the round-4
 # incident run (tools/he_flagship_100k.sh with K=50), 15k-step budget —
 # the incident's signature was visible well before 15k and the monitor
