@@ -157,5 +157,11 @@ for arm in ctl ss ss2 do ssdo aug; do
     python3 decode.py $common $eval_common $extra --save_dir "$dir" \
       --split dev --restore_epoch $e --beam_size 8 --beam_logprob True \
       --stall_timeout_s 900 | tail -3
+    # archive this arm's att-beam hypotheses before the next stage
+    # overwrites the shared dumps (consumed by tools/error_analysis.py)
+    cp -f $work/log_f100k/decode_pred.txt \
+      $work/log_f100k/attbeam_${arm}_pred.txt 2>/dev/null || true
+    cp -f $work/log_f100k/decode_gt.txt \
+      $work/log_f100k/attbeam_${arm}_gt.txt 2>/dev/null || true
   fi
 done

@@ -70,6 +70,31 @@ stage rescue_aug env BASE_EPOCH=25 FT_EXTRA=4 K=25 \
 stage rescue_aug_eval env BASE_EPOCH=25 FT_EXTRA=4 EVAL_EPOCH=29 \
   bash tools/rescue_study.sh eval_aug
 
+# 0c. re-dump the BASE model's att-only beam hypotheses (the chain's
+# later decodes overwrote the shared pred/gt files) and run the error
+# decomposition on base + every archived arm: the evidence for the
+# published-decode-mode conclusion (VERDICT ask #3).
+stage base_attbeam_redump python3 decode.py \
+  --unit char --feat_type mfcc --feat_dim 13 --cmvn True \
+  --train_100hr_corpus_dir $data/train \
+  --dev_data_dir $data/dev --test_data_dir $data/test \
+  --feat_dir $work/features --shard_dir $work/shards \
+  --log_dir $work/log_attbeam_base --summary_dir $work/summary_f100k \
+  --use_saved_config True --scan_unroll 4 --convert_rate 0.25 \
+  --report_cer True --save_dir $work/model_f100k --split dev \
+  --restore_epoch 25 --beam_size 8 --beam_logprob True \
+  --stall_timeout_s 900
+stage attbeam_error_analysis bash -c '
+  python3 tools/error_analysis.py \
+    --ref exp/he/log_attbeam_base/decode_gt.txt \
+    --hyp exp/he/log_attbeam_base/decode_pred.txt --examples 8
+  for f in exp/he/log_f100k/attbeam_*_pred.txt; do
+    arm=$(basename "$f" _pred.txt)
+    echo "=== $arm ==="
+    python3 tools/error_analysis.py \
+      --ref "${f%_pred.txt}_gt.txt" --hyp "$f" --examples 3
+  done'
+
 # 1. basin replication: identical recipe/schedule/seed to the round-4
 # incident run (tools/he_flagship_100k.sh with K=50), 15k-step budget —
 # the incident's signature was visible well before 15k and the monitor
