@@ -146,14 +146,24 @@ def test_two_process_training_step_matches_single(tmp_path):
             [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
             + base.get("PYTHONPATH", "").split(os.pathsep)),
     })
-    procs = []
-    for i in range(2):
-        env = dict(base, JAX_PROCESS_ID=str(i))
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", TRAIN_WORKER, str(tmp_path),
-             str(tmp_path / "ckpt")], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    def run_pair():
+        procs = []
+        for i in range(2):
+            env = dict(base, JAX_PROCESS_ID=str(i))
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", TRAIN_WORKER, str(tmp_path),
+                 str(tmp_path / "ckpt")], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        return procs, [p.communicate(timeout=600)[0] for p in procs]
+
+    procs, outs = run_pair()
+    # Gloo's KV-store handshake has a hard 30 s timeout inside XLA; on a
+    # loaded 1-core host the second process can miss it (observed while a
+    # training chain owned the box).  One retry absorbs that specific
+    # infra flake without weakening any correctness assertion.
+    if (any(p.returncode != 0 for p in procs)
+            and any("DEADLINE_EXCEEDED" in o for o in outs)):
+        procs, outs = run_pair()
     dist_losses = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
