@@ -100,7 +100,8 @@ stage attbeam_error_analysis bash -c '
 # the incident's signature was visible well before 15k and the monitor
 # is designed to fire by ~10k.  Warn-only (monitor_abort False) so the
 # full trajectory is recorded either way.
-stage basin_k50 timeout 7200 python3 train.py $common $flagship \
+stage basin_k50 timeout 7200 tools/train_supervised.sh 6 -- \
+  python3 train.py $common $flagship \
   --save_dir $work/model_basin_k50 \
   --ctc True --ctc_weight 0.2 \
   --epoch 6 --steps_per_epoch 2500 \
