@@ -37,8 +37,14 @@ STAGES = [
     ("rescue_do_eval", "rescue do: decodes"),
     ("lmtest", "LM fusion best-lambda (test)"),
     # round-5 chain (tools/round5_chain.sh)
+    ("base_attbeam_redump", "base att-beam re-dump for error analysis"),
+    ("attbeam_error_analysis", "error decomposition: base + arms"),
+    ("base_ctcgreedy", "encoder-health probe: CTC-greedy (dev)"),
     ("basin_k50", "dead-basin replication: K=50 flagship, monitor armed"),
     ("bench_recapture", "fresh bench capture on quiet chip"),
+    ("rescue_ss3", "rescue arm: full-ramp scheduled sampling (tf->0.4)"),
+    ("rescue_ss3_eval", "rescue ss3: decodes"),
+    ("basin_k50_seed1", "dead-basin probe #2: K=50, seed 1"),
 ]
 
 def stage_summary(path: str) -> str:

@@ -93,6 +93,15 @@ arm_flags() {
     ss2)  echo "--scheduled_sampling True --warmup_step $base_step
                 --max_step $((base_step + 60000)) --min_rate 0.4
                 --dropout_rate 0.0 --lr 3e-5";;
+    # full-ramp sampling at the stabilized lr (round 5): ss2's 4x-
+    # stretched decay only reached tf ~0.93 inside the shortened
+    # FT_EXTRA=4 window — no meaningful free-running exposure.  ss3
+    # completes the 1.0 -> 0.4 ramp INSIDE a 15k-step window at the
+    # same lr 3e-5 that kept ss2 stable, so the remedy is actually
+    # administered at full dose
+    ss3)  echo "--scheduled_sampling True --warmup_step $base_step
+                --max_step $((base_step + 15000)) --min_rate 0.4
+                --dropout_rate 0.0 --lr 3e-5";;
     do)   echo "--scheduled_sampling False --dropout_rate 0.2";;
     ssdo) echo "--scheduled_sampling True --warmup_step $base_step
                 --max_step $((base_step + 12500)) --min_rate 0.4
@@ -117,7 +126,7 @@ if run_stage aug_prep; then
     --feat_dir $work/features_audio --shard_dir $work/shards_audio
 fi
 
-for arm in ctl ss ss2 do ssdo aug; do
+for arm in ctl ss ss2 ss3 do ssdo aug; do
   if run_stage $arm; then
     dir=$work/model_ft_$arm
     echo "=== rescue arm $arm: fine-tune 100k -> 115k ==="
@@ -141,7 +150,7 @@ done
 eval_common="--use_saved_config True --scan_unroll 4
   --convert_rate 0.25 --report_cer True"
 
-for arm in ctl ss ss2 do ssdo aug; do
+for arm in ctl ss ss2 ss3 do ssdo aug; do
   if run_stage eval_$arm; then
     dir=$work/model_ft_$arm
     e=${EVAL_EPOCH:-$ft_epochs}

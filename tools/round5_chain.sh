@@ -95,6 +95,21 @@ stage attbeam_error_analysis bash -c '
       --ref "${f%_pred.txt}_gt.txt" --hyp "$f" --examples 3
   done'
 
+# 0d. encoder-health probe: CTC-greedy decode of the base checkpoint.
+# If CTC alone reads the audio at ~1% WER while att-only beam sits at
+# ~60%, the encoder is healthy and the att-only gap is pure decoder
+# free-running — the sharpest single piece of evidence for the ask-#3
+# conclusion.
+stage base_ctcgreedy python3 test.py \
+  --unit char --feat_type mfcc --feat_dim 13 --cmvn True \
+  --train_100hr_corpus_dir $data/train \
+  --dev_data_dir $data/dev --test_data_dir $data/test \
+  --feat_dir $work/features --shard_dir $work/shards \
+  --log_dir $work/log_f100k --summary_dir $work/summary_f100k \
+  --use_saved_config True --scan_unroll 4 --convert_rate 0.25 \
+  --report_cer True --save_dir $work/model_f100k --split dev \
+  --restore_epoch 25 --eval_decoder ctc_greedy
+
 # 1. basin replication: identical recipe/schedule/seed to the round-4
 # incident run (tools/he_flagship_100k.sh with K=50), 15k-step budget —
 # the incident's signature was visible well before 15k and the monitor
@@ -115,5 +130,27 @@ grep -E "training-health monitor|hostmem" logs_r4/basin_k50.log | tail -20
 # 2. fresh bench capture on the quiet chip (also refreshes the
 # stale-fallback cache the driver-run bench can serve under contention)
 stage bench_recapture env ASR_BENCH_TIMEOUT=2700 python3 bench.py
+
+# 3. full-dose scheduled-sampling arm (ss2 only reached tf 0.93 in its
+# shortened window; ss3 completes the 1.0 -> 0.4 ramp in-budget at the
+# stabilized lr — the last untested dose of the reference's own
+# anti-exposure-bias mechanism)
+stage rescue_ss3 env BASE_EPOCH=25 FT_EXTRA=6 K=25 \
+  bash tools/rescue_study.sh ss3
+stage rescue_ss3_eval env BASE_EPOCH=25 FT_EXTRA=6 EVAL_EPOCH=31 \
+  bash tools/rescue_study.sh eval_ss3
+
+# 4. second basin probe at a different seed: is the K=50 basin a
+# property of the configuration or of one data order?  (n=3 overall)
+stage basin_k50_seed1 timeout 7200 tools/train_supervised.sh 6 -- \
+  python3 train.py $common $flagship \
+  --save_dir $work/model_basin_k50s1 --seed 1 \
+  --ctc True --ctc_weight 0.2 \
+  --epoch 6 --steps_per_epoch 2500 \
+  --lr 1e-3 --lr_decay_start 16000 --lr_decay_step 16000 \
+  --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 50 \
+  --stall_timeout_s 900 \
+  --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 8
+grep -E "training-health monitor" logs_r4/basin_k50_seed1.log | tail -8
 
 log "chain complete"
