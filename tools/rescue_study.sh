@@ -159,13 +159,19 @@ for arm in ctl ss ss2 ss3 do ssdo aug; do
     extra=""
     [ "$arm" = aug ] && extra="--shard_dir $work/shards_audio"
     echo "=== arm $arm epoch $e: greedy (dev) ==="
-    python3 test.py $common $eval_common $extra --save_dir "$dir" \
+    tools/train_supervised.sh 3 -- \
+      python3 test.py $common $eval_common $extra --save_dir "$dir" \
       --split dev --restore_epoch $e | tail -2
     echo "=== arm $arm epoch $e: ATTENTION-ONLY beam-8 (dev) — the"
     echo "=== reference's published decode mode (run.sh:79-93) ==="
-    python3 decode.py $common $eval_common $extra --save_dir "$dir" \
+    # stall budget 1800 s: the remote compile service has been observed
+    # taking ~25 min under contention, which a 900 s watchdog reads as a
+    # dead tunnel (lost the ss2 att-beam on exactly this); retries via
+    # the supervisor in case it really was transient
+    tools/train_supervised.sh 3 -- \
+      python3 decode.py $common $eval_common $extra --save_dir "$dir" \
       --split dev --restore_epoch $e --beam_size 8 --beam_logprob True \
-      --stall_timeout_s 900 | tail -3
+      --stall_timeout_s 1800 | tail -3
     # archive this arm's att-beam hypotheses before the next stage
     # overwrites the shared dumps (consumed by tools/error_analysis.py)
     cp -f $work/log_f100k/decode_pred.txt \

@@ -70,6 +70,12 @@ stage rescue_aug env BASE_EPOCH=25 FT_EXTRA=4 K=25 \
 stage rescue_aug_eval env BASE_EPOCH=25 FT_EXTRA=4 EVAL_EPOCH=29 \
   bash tools/rescue_study.sh eval_aug
 
+# 0b2. re-run the ss2 arm's decodes: the first attempt's att-beam
+# stalled on a >900 s remote compile and aborted (watchdog 17); the
+# eval path now retries with an 1800 s stall budget.
+stage rescue_ss2_eval env BASE_EPOCH=25 FT_EXTRA=4 EVAL_EPOCH=29 \
+  bash tools/rescue_study.sh eval_ss2
+
 # 0c. re-dump the BASE model's att-only beam hypotheses (the chain's
 # later decodes overwrote the shared pred/gt files) and run the error
 # decomposition on base + every archived arm: the evidence for the
