@@ -137,6 +137,18 @@ grep -E "training-health monitor|hostmem" logs_r4/basin_k50.log | tail -20
 # stale-fallback cache the driver-run bench can serve under contention)
 stage bench_recapture env ASR_BENCH_TIMEOUT=2700 python3 bench.py
 
+# 2b. pBLSTM study arm, requeued: the round-4 chain's attempt burned
+# supervisor retries on >900 s remote compiles (contended compile
+# service); 3600 s stall budget rides out the compile once.
+stage pblstm_train bash -c '
+  cd /root/repo
+  sed "s/--stall_timeout_s 900/--stall_timeout_s 3600/" \
+    tools/pblstm_study.sh > /tmp/pblstm_r5.sh
+  bash /tmp/pblstm_r5.sh train'
+stage pblstm_eval bash /tmp/pblstm_r5.sh eval
+stage pblstm_final bash /tmp/pblstm_r5.sh final
+stage pblstm_beam bash /tmp/pblstm_r5.sh beam
+
 # 3. full-dose scheduled-sampling arm (ss2 only reached tf 0.93 in its
 # shortened window; ss3 completes the 1.0 -> 0.4 ramp in-budget at the
 # stabilized lr — the last untested dose of the reference's own
