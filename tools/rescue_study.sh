@@ -69,7 +69,7 @@ flagship="--enc_type cnn --enc_units 512 --num_enc_layers 4
 ft_sched="--lr 1e-4 --lr_decay_start 1000000000
   --epoch $ft_epochs --steps_per_epoch 2500
   --ctc True --ctc_weight 0.2 --dtype bfloat16 --steps_per_dispatch ${K:-50}
-  --stall_timeout_s 900
+  --stall_timeout_s 3600
   --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 10"
 
 seed_arm() {  # seed_arm <dir>: hardlink the base-epoch checkpoint in

@@ -89,7 +89,7 @@ stage base_attbeam_redump python3 decode.py \
   --use_saved_config True --scan_unroll 4 --convert_rate 0.25 \
   --report_cer True --save_dir $work/model_f100k --split dev \
   --restore_epoch 25 --beam_size 8 --beam_logprob True \
-  --stall_timeout_s 900
+  --stall_timeout_s 3600
 stage attbeam_error_analysis bash -c '
   python3 tools/error_analysis.py \
     --ref exp/he/log_attbeam_base/decode_gt.txt \
@@ -128,7 +128,7 @@ stage basin_k50 timeout 7200 tools/train_supervised.sh 6 -- \
   --epoch 6 --steps_per_epoch 2500 \
   --lr 1e-3 --lr_decay_start 16000 --lr_decay_step 16000 \
   --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 50 \
-  --stall_timeout_s 900 \
+  --stall_timeout_s 3600 \
   --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 8
 
 grep -E "training-health monitor|hostmem" logs_r4/basin_k50.log | tail -20
@@ -142,7 +142,7 @@ stage bench_recapture env ASR_BENCH_TIMEOUT=2700 python3 bench.py
 # service); 3600 s stall budget rides out the compile once.
 stage pblstm_train bash -c '
   cd /root/repo
-  sed "s/--stall_timeout_s 900/--stall_timeout_s 3600/" \
+  sed "s/--stall_timeout_s 3600/--stall_timeout_s 3600/" \
     tools/pblstm_study.sh > /tmp/pblstm_r5.sh
   bash /tmp/pblstm_r5.sh train'
 stage pblstm_eval bash /tmp/pblstm_r5.sh eval
@@ -167,7 +167,7 @@ stage basin_k50_seed1 timeout 7200 tools/train_supervised.sh 6 -- \
   --epoch 6 --steps_per_epoch 2500 \
   --lr 1e-3 --lr_decay_start 16000 --lr_decay_step 16000 \
   --lr_decay_rate 0.5 --dtype bfloat16 --steps_per_dispatch 50 \
-  --stall_timeout_s 900 \
+  --stall_timeout_s 3600 \
   --bucket_batch_sizes 32,32,32,32,32,32,32,32,32 --max_to_keep 8
 grep -E "training-health monitor" logs_r4/basin_k50_seed1.log | tail -8
 
