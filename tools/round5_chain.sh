@@ -158,6 +158,13 @@ stage rescue_ss3 env BASE_EPOCH=25 FT_EXTRA=6 K=25 \
 stage rescue_ss3_eval env BASE_EPOCH=25 FT_EXTRA=6 EVAL_EPOCH=31 \
   bash tools/rescue_study.sh eval_ss3
 
+# 3b. dropout rescue arm, requeued (first attempt churned on >900 s
+# compiles; rescue_study.sh now carries the 3600 s stall budget)
+stage rescue_do env BASE_EPOCH=25 FT_EXTRA=4 K=25 \
+  bash tools/rescue_study.sh do
+stage rescue_do_eval env BASE_EPOCH=25 FT_EXTRA=4 EVAL_EPOCH=29 \
+  bash tools/rescue_study.sh eval_do
+
 # 4. second basin probe at a different seed: is the K=50 basin a
 # property of the configuration or of one data order?  (n=3 overall)
 stage basin_k50_seed1 timeout 7200 tools/train_supervised.sh 6 -- \
