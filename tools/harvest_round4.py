@@ -26,6 +26,7 @@ STAGES = [
     ("avg_eval", "avg: greedy / att-beam / joint-beam (dev)"),
     ("lmsweep", "LM fusion x joint-CTC beam-8, lambda sweep (dev)"),
     ("base_greedy_test", "base: greedy (test)"),
+    ("base_attbeam_test", "base: ATT-ONLY beam-8 (test) — published decode mode"),
     ("base_jointbeam_test", "base: joint-CTC beam-8 (test)"),
     ("rescue_aug", "rescue arm: online noise+speed fine-tune"),
     ("rescue_aug_eval", "rescue aug: decodes"),
