@@ -111,9 +111,14 @@ arm_flags() {
     # decoder's grammar cannot dominate; needs the raw-audio shards
     # (stage aug_prep) because the frontend must run inside the jitted
     # train step to see a different waveform every epoch
+    # recycle_after_steps: the aug arm feeds RAW f32 waveforms (~14
+    # MB/step at K=25 through the leaky tunnel client — docs/
+    # OPERATIONS.md "Host memory"), so an unbounded process OOMs the
+    # 125 GB host near 9k steps; planned recycling (exit 21) caps it
     aug)  echo "--scheduled_sampling False --dropout_rate 0.0
                 --audio_shards True --shard_dir $work/shards_audio
-                --online_noise_perturb True --online_speed_perturb True";;
+                --online_noise_perturb True --online_speed_perturb True
+                --recycle_after_steps 6000";;
     *) echo "unknown arm $1" >&2; exit 2;;
   esac
 }
