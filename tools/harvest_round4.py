@@ -46,6 +46,10 @@ STAGES = [
     ("rescue_ss3", "rescue arm: full-ramp scheduled sampling (tf->0.4)"),
     ("rescue_ss3_eval", "rescue ss3: decodes"),
     ("basin_k50_seed1", "dead-basin probe #2: K=50, seed 1"),
+    ("pblstm_final", "pBLSTM: greedy (test)"),
+    ("pblstm_beam", "pBLSTM: joint-CTC beam-8 (dev/test)"),
+    ("pblstm_attbeam_dev", "pBLSTM: ATT-ONLY beam-8 (dev) — published mode WORKS"),
+    ("pblstm_attbeam_test", "pBLSTM: ATT-ONLY beam-8 (test)"),
 ]
 
 def stage_summary(path: str) -> str:
