@@ -88,7 +88,10 @@ def main():
             extra.append((p, tail[-1][:140] if tail else ""))
 
     with open(OUT, "w") as f:
-        f.write("# Round-4 study results (auto-harvested)\n\n")
+        f.write("# Round-4/5 study results (auto-harvested)\n\n"
+                "The round-4 post-base chain plus every round-5 stage "
+                "(rescue arms, probes,\nbasin replications, bench "
+                "recaptures) — one file, chain order.\n\n")
         f.write(f"Harvested {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())} "
                 f"from `logs_r4/` by `tools/harvest_round4.py`.\n"
                 "Narrative interpretation lives in `benchmarks/WER_SYNTH.md`.\n\n")
