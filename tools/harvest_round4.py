@@ -45,7 +45,8 @@ STAGES = [
     ("bench_recapture", "fresh bench capture on quiet chip"),
     ("rescue_ss3", "rescue arm: full-ramp scheduled sampling (tf->0.4)"),
     ("rescue_ss3_eval", "rescue ss3: decodes"),
-    ("basin_k50_seed1", "dead-basin probe #2: K=50, seed 1"),
+    ("basin_k50_seed1", "dead-basin probe #2: K=50, seed 1 (15k)"),
+    ("basin_k50_seed1_ext", "seed-1 extension to 40k: bind-then-collapse"),
     ("pblstm_final", "pBLSTM: greedy (test)"),
     ("pblstm_beam", "pBLSTM: joint-CTC beam-8 (dev/test)"),
     ("pblstm_attbeam_dev", "pBLSTM: ATT-ONLY beam-8 (dev) — published mode WORKS"),
