@@ -51,6 +51,7 @@ STAGES = [
     ("pblstm_beam", "pBLSTM: joint-CTC beam-8 (dev/test)"),
     ("pblstm_attbeam_dev", "pBLSTM: ATT-ONLY beam-8 (dev) — published mode WORKS"),
     ("pblstm_attbeam_test", "pBLSTM: ATT-ONLY beam-8 (test)"),
+    ("covprobe", "decode-time coverage scoring sweep on att-only beam"),
 ]
 
 def stage_summary(path: str) -> str:
