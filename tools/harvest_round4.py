@@ -52,6 +52,10 @@ STAGES = [
     ("pblstm_attbeam_dev", "pBLSTM: ATT-ONLY beam-8 (dev) — published mode WORKS"),
     ("pblstm_attbeam_test", "pBLSTM: ATT-ONLY beam-8 (test)"),
     ("covprobe", "decode-time coverage scoring sweep on att-only beam"),
+    ("dec512_train", "capacity probe: dec 512x2 flagship schedule (seed 0)"),
+    ("dec512_eval", "capacity probe evals (seed 0)"),
+    ("dec512s1_train", "capacity probe (seed 1)"),
+    ("dec512s1_eval", "capacity probe evals (seed 1)"),
 ]
 
 def stage_summary(path: str) -> str:
