@@ -56,6 +56,8 @@ STAGES = [
     ("dec512_eval", "capacity probe evals (seed 0)"),
     ("dec512s1_train", "capacity probe (seed 1)"),
     ("dec512s1_eval", "capacity probe evals (seed 1)"),
+    ("dec256_train", "capacity probe: dec 256x2, flagship enc+schedule"),
+    ("dec256_eval", "capacity probe evals (dec 256x2)"),
 ]
 
 def stage_summary(path: str) -> str:
