@@ -58,6 +58,7 @@ STAGES = [
     ("dec512s1_eval", "capacity probe evals (seed 1)"),
     ("dec256_train", "capacity probe: dec 256x2, flagship enc+schedule"),
     ("dec256_eval", "capacity probe evals (dec 256x2)"),
+    ("monitor_abort_probe", "live exit-20 validation: alarm->ckpt->abort at 10k"),
 ]
 
 def stage_summary(path: str) -> str:
