@@ -59,6 +59,8 @@ STAGES = [
     ("dec256_train", "capacity probe: dec 256x2, flagship enc+schedule"),
     ("dec256_eval", "capacity probe evals (dec 256x2)"),
     ("monitor_abort_probe", "live exit-20 validation: alarm->ckpt->abort at 10k"),
+    ("base_resume_e40", "flagship resumed e25->e40 (100k steps, recycles live)"),
+    ("e40_anchors", "e40 anchors: joint 0.0076 / att 0.5387 / greedy 0.5550"),
 ]
 
 def stage_summary(path: str) -> str:
